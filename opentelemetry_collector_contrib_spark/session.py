@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults are chosen for the 100 TB design point and scaled down by env for
+local testing:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  replaces the reference's hand-tuned worker pools
+  (internal/stanza/converter.go:155-174).
+- Arrow on — all Python UDFs in this engine are vectorized pandas UDFs
+  (per BASELINE.json input_hint: "no per-row Python").
+- shuffle partitions sized from cores locally; on a real cluster this would
+  be ~2-3x total executor cores (or left to AQE coalescing from a high
+  initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "otelcol-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
