@@ -1,0 +1,202 @@
+"""Parse stage: stanza-operator analogues + the vectorized HTML parse UDF.
+
+The reference's parse pipeline is the stanza operator list configured per
+receiver (internal/stanza/factory.go:45-63), exercised in
+examples/kubernetes/otel-collector-config.yml:11-66:
+
+  router -> regex_parser (CRI) | json_parser (docker) -> metadata/restructure
+
+Spark mapping (SURVEY.md section 2.1): the router is a ``F.when`` predicate
+ladder, simple extractions are JVM-side ``regexp_extract``/``from_json``,
+and the full multi-format byte-identical extraction is one Arrow-batched
+pandas UDF (input_hint: vectorized, no per-row Spark UDFs).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..schema import PARSED_STRUCT, SEVERITY_DEFAULT, SEVERITY_MAP
+
+# ---------------------------------------------------------------------------
+# Generic stanza-operator analogues (composable building blocks)
+# ---------------------------------------------------------------------------
+
+
+def router(routes: list[tuple[str, Column]], default: str | None = None) -> Column:
+    """stanza ``router`` operator (otel-collector-config.yml:13-21): first
+    matching predicate wins; unmatched rows get ``default`` (None -> NULL).
+    """
+    out: Column | None = None
+    for name, cond in routes:
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    assert out is not None
+    return out.otherwise(F.lit(default))
+
+
+def regex_parser(col: Column, pattern: str, groups: list[str]) -> list[Column]:
+    """stanza ``regex_parser`` for patterns Spark's JVM regex handles
+    (otel-collector-config.yml:23-38): one ``regexp_extract`` per named
+    group — stays inside whole-stage codegen.
+    """
+    return [F.regexp_extract(col, pattern, i + 1).alias(g) for i, g in enumerate(groups)]
+
+
+def json_parser(col: Column, schema: str) -> Column:
+    """stanza ``json_parser`` (otel-collector-config.yml:40-45)."""
+    return F.from_json(col, schema)
+
+
+def severity_columns(sev_col: Column) -> tuple[Column, Column]:
+    """Severity text -> (otel severity text, SeverityNumber) ladder, exactly
+    convertSeverity's standard levels (internal/stanza/converter.go:532-558).
+    """
+    txt: Column | None = None
+    num: Column | None = None
+    for k, (t, n) in SEVERITY_MAP.items():
+        cond = F.upper(sev_col) == k
+        txt = F.when(cond, t) if txt is None else txt.when(cond, t)
+        num = F.when(cond, n) if num is None else num.when(cond, n)
+    assert txt is not None and num is not None
+    return (
+        txt.otherwise(F.lit(SEVERITY_DEFAULT[0])),
+        num.otherwise(F.lit(SEVERITY_DEFAULT[1])),
+    )
+
+
+URL_META_PATTERN = r"^https?://([^/]+)/([^/]+)/([^/]+)/page-(\d+)$"
+
+
+def url_metadata(url: Column) -> list[Column]:
+    """Url-metadata extraction — the filelog file_name regex analogue
+    (otel-collector-config.yml:47-50): named groups domain/section/page_id.
+    JVM-side regexp_extract (codegen'd, no Python).
+    """
+    return [
+        F.regexp_extract(url, URL_META_PATTERN, 1).alias("domain"),
+        F.regexp_extract(url, URL_META_PATTERN, 3).alias("section"),
+        F.regexp_extract(url, URL_META_PATTERN, 4).cast("long").alias("page_id"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# The HTML parse UDF (byte-identical extraction)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_PRE_RE = re.compile(r"<pre>(.*?)</pre>", re.S)
+_STATUS_RE = re.compile(r'http-equiv="status" content="(\d+)"')
+# format A — testbed filelog line (testbed/datasenders/stanza.go:129-133)
+_FMT_A_RE = re.compile(r"^(\d{4}-\d{2}-\d{2}) ([A-Z0-9]*) (.*)$", re.S)
+# format B — CRI line (otel-collector-config.yml:23-38)
+_FMT_B_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z) (stdout|stderr) ([^ ]*) ?(.*)$", re.S
+)
+
+
+@pandas_udf(PARSED_STRUCT)
+def parse_html(html: pd.Series) -> pd.DataFrame:
+    """Decode html bytes, route the embedded body line across the three
+    k8s container formats, extract fields with named-group regexes / JSON.
+
+    Router predicates mirror otel-collector-config.yml:13-21: body starting
+    with ``{`` -> docker JSON; rfc3339 'T...Z' prefix -> CRI; plain date
+    prefix -> testbed text format; anything else is refused (parse_ok=false).
+
+    The extracted ``message`` must be byte-identical to the page's golden
+    ``text`` column (north_star per-row invariant) — asserted in tests.
+    """
+    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    title = s.str.extract(_TITLE_RE, expand=False)
+    status = s.str.extract(_STATUS_RE, expand=False).astype("float").astype("Int32")
+    body = s.str.extract(_PRE_RE, expand=False)
+
+    n = len(s)
+    out = pd.DataFrame(
+        {
+            "title": title,
+            "fmt": pd.Series([None] * n, dtype="object"),
+            "event_time": pd.Series([None] * n, dtype="object"),
+            "severity_text": pd.Series([None] * n, dtype="object"),
+            "stream": pd.Series([None] * n, dtype="object"),
+            "message": pd.Series([None] * n, dtype="object"),
+            "status": status,
+            "parse_ok": pd.Series([False] * n, dtype="bool"),
+        }
+    )
+    body_nn = body.fillna("")
+
+    is_c = body_nn.str.startswith("{")
+    is_b = ~is_c & body_nn.str.match(r"^\d{4}-\d{2}-\d{2}T")
+    is_a = ~is_c & ~is_b & body_nn.str.match(r"^\d{4}-\d{2}-\d{2} ")
+
+    if is_a.any():
+        ext = body_nn[is_a].str.extract(_FMT_A_RE)
+        ok = ext[0].notna()
+        idx = ext.index[ok]
+        out.loc[idx, "fmt"] = "A"
+        out.loc[idx, "event_time"] = ext.loc[idx, 0]
+        out.loc[idx, "severity_text"] = ext.loc[idx, 1]
+        out.loc[idx, "message"] = ext.loc[idx, 2]
+        out.loc[idx, "parse_ok"] = True
+    if is_b.any():
+        ext = body_nn[is_b].str.extract(_FMT_B_RE)
+        ok = ext[0].notna()
+        idx = ext.index[ok]
+        out.loc[idx, "fmt"] = "B"
+        out.loc[idx, "event_time"] = ext.loc[idx, 0]
+        out.loc[idx, "stream"] = ext.loc[idx, 1]
+        out.loc[idx, "message"] = ext.loc[idx, 3]
+        out.loc[idx, "parse_ok"] = True
+    if is_c.any():
+        # real JSON parse (stanza json_parser analogue) on the C subset only
+        for i, v in body_nn[is_c].items():
+            try:
+                obj = json.loads(v)
+            except (ValueError, TypeError):
+                continue
+            out.at[i, "fmt"] = "C"
+            out.at[i, "event_time"] = obj.get("time")
+            out.at[i, "stream"] = obj.get("stream")
+            out.at[i, "message"] = obj.get("log")
+            out.at[i, "parse_ok"] = True
+    return out
+
+
+def parse_stage(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> parsed log records.
+
+    One pandas-UDF projection (Arrow-batched) + JVM-side url metadata,
+    severity mapping and event-time normalization. The golden ``text``
+    column rides along so tests can assert byte-identity; production reads
+    would simply not select it (column pruning keeps it out of the scan).
+    """
+    df = pages.withColumn("p", parse_html(F.col("html")))
+    sev_txt, sev_num = severity_columns(F.col("p.severity_text"))
+    return df.select(
+        "url",
+        "warc_ts",
+        "text",
+        "lang",
+        *url_metadata(F.col("url")),
+        F.col("p.title").alias("title"),
+        F.col("p.fmt").alias("fmt"),
+        F.col("p.event_time").alias("event_time"),
+        F.coalesce(
+            F.to_timestamp(F.col("p.event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.to_timestamp(F.col("p.event_time"), "yyyy-MM-dd"),
+        ).alias("event_ts"),
+        F.col("p.severity_text").alias("severity_in"),
+        sev_txt.alias("severity_text"),
+        sev_num.alias("severity_number"),
+        F.col("p.stream").alias("stream"),
+        F.col("p.message").alias("message"),
+        F.col("p.status").alias("status"),
+        F.col("p.parse_ok").alias("parse_ok"),
+    )
