@@ -189,8 +189,8 @@ def parse_stage(pages: DataFrame) -> DataFrame:
         F.col("p.fmt").alias("fmt"),
         F.col("p.event_time").alias("event_time"),
         F.coalesce(
-            F.to_timestamp(F.col("p.event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-            F.to_timestamp(F.col("p.event_time"), "yyyy-MM-dd"),
+            F.try_to_timestamp(F.col("p.event_time"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            F.try_to_timestamp(F.col("p.event_time"), F.lit("yyyy-MM-dd")),
         ).alias("event_ts"),
         F.col("p.severity_text").alias("severity_in"),
         sev_txt.alias("severity_text"),

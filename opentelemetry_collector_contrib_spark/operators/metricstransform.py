@@ -1,0 +1,109 @@
+"""metricstransform processor analogue.
+
+Reference: processor/metricstransformprocessor —
+  - rename metric / labels / label values (metrics_transform_processor.go:215+)
+  - aggregate_labels: collapse label dimensions, merging datapoints grouped
+    by {remaining labels x timestamp} with sum/mean/min/max
+    (datapoint_aggregation.go:34-130, config.go:204-240)
+  - aggregate_label_values: merge specific label values into one
+  - combine: union multiple matched metrics into one, regex submatches
+    becoming labels (metrics_transform_processor.go:279-421)
+
+Spark design: metrics are rows ``(name, labels..., ts, value)``; every
+transform is a select / groupBy / unionByName — all partial-aggregatable,
+shuffle carries only the collapsed label space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGG = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}
+
+
+def rename_metric(df: DataFrame, old: str, new: str, name_col: str = "metric_name") -> DataFrame:
+    return df.withColumn(
+        name_col, F.when(F.col(name_col) == old, F.lit(new)).otherwise(F.col(name_col))
+    )
+
+
+def rename_labels(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    out = df
+    for old, new in mapping.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def aggregate_labels(
+    df: DataFrame,
+    keep_labels: list[str],
+    value_col: str,
+    agg: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """config.go:226-240 + datapoint_aggregation.go:34-99: group by
+    {kept labels x timestamp}, merge values with sum/mean/min/max."""
+    keys = keep_labels + ([ts_col] if ts_col else [])
+    return df.groupBy(*keys).agg(_AGG[agg](F.col(value_col)).alias(value_col))
+
+
+def aggregate_label_values(
+    df: DataFrame,
+    label: str,
+    merged_values: list[str],
+    new_value: str,
+    other_labels: list[str],
+    value_col: str,
+    agg: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Merge listed values of one label into a single value, re-aggregating
+    collided datapoints (datapoint_aggregation.go:103-130)."""
+    relabeled = df.withColumn(
+        label,
+        F.when(F.col(label).isin(merged_values), F.lit(new_value)).otherwise(F.col(label)),
+    )
+    return aggregate_labels(relabeled, other_labels + [label], value_col, agg, ts_col)
+
+
+def combine(dfs: list[DataFrame], new_name: str, name_col: str = "metric_name") -> DataFrame:
+    """Combine matched metrics into one (metrics_transform_processor.go:279-421):
+    union by name, overwrite the metric name."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out.withColumn(name_col, F.lit(new_name))
+
+
+def metrics_generation(
+    df: DataFrame,
+    name1: str,
+    name2: str,
+    op: str,
+    new_name: str,
+    label_cols: list[str],
+    value_col: str = "value",
+    name_col: str = "metric_name",
+) -> DataFrame:
+    """metricsgeneration processor (README.md:7-63): derive
+    metric = metric1 (op) metric2 via a self-join on the label set."""
+    a = df.filter(F.col(name_col) == name1).select(
+        *label_cols, F.col(value_col).alias("__v1")
+    )
+    b = df.filter(F.col(name_col) == name2).select(
+        *label_cols, F.col(value_col).alias("__v2")
+    )
+    joined = a.join(b, label_cols, "inner")
+    ops = {
+        "add": F.col("__v1") + F.col("__v2"),
+        "subtract": F.col("__v1") - F.col("__v2"),
+        "multiply": F.col("__v1") * F.col("__v2"),
+        "divide": F.col("__v1") / F.col("__v2"),
+        "percent": F.col("__v1") / F.col("__v2") * 100.0,
+    }
+    return joined.select(
+        *label_cols,
+        F.lit(new_name).alias(name_col),
+        ops[op].alias(value_col),
+    )

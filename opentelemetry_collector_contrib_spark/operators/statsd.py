@@ -1,0 +1,96 @@
+"""statsd receiver analogue: line parse + interval-windowed aggregation.
+
+Reference: receiver/statsdreceiver/protocol/statsd_parser.go —
+  - line grammar ``name:value|type|@rate|#tag:v,...`` (parseMessageToMetric,
+    :224-279)
+  - counters: running sum (:158-166); gauges: last-write-wins or += delta
+    (:143-156); timers: observations -> summary (:168-218)
+  - state resets every aggregation_interval tick
+    (receiver.go:90-133, GetMetrics :106-131)
+
+Spark design: the "flush every interval" state machine becomes a tumbling
+window group-by — ``groupBy(window(ts, interval), name, tags)`` — which at
+100 TB is a single partial-aggregatable shuffle. Gauge last-write-wins uses
+``max_by(value, ts)`` (JVM built-in), timers use exact ``percentile`` so the
+DuckDB oracle can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STATSD_LINE_RE = r"^([^:]+):([-+]?[0-9.]+)\|(c|g|ms|h)(?:\|@([0-9.]+))?(?:\|#(.*))?$"
+
+
+def parse_statsd_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """statsd_parser.go:224-279 as JVM regexp_extract columns (codegen'd)."""
+    c = F.col(line_col)
+    return df.select(
+        *df.columns,
+        F.regexp_extract(c, STATSD_LINE_RE, 1).alias("metric_name"),
+        F.regexp_extract(c, STATSD_LINE_RE, 2).try_cast("double").alias("metric_value"),
+        F.regexp_extract(c, STATSD_LINE_RE, 3).alias("metric_type"),
+        F.regexp_extract(c, STATSD_LINE_RE, 4).try_cast("double").alias("sample_rate"),
+        F.nullif(F.regexp_extract(c, STATSD_LINE_RE, 5), F.lit("")).alias("tags"),
+    )
+
+
+def tumbling_window(ts: Column, interval: str = "1 hour") -> Column:
+    """Aggregation-interval flush tick (receiver.go:90-133) as a tumbling
+    window start column."""
+    return F.window(ts, interval).getField("start")
+
+
+def statsd_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    name_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+    extra_keys: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per (window, name[, tags]) flush-style aggregate:
+    counter sum, gauge last-write-wins, timer count/min/max/exact median.
+
+    ``order_col`` breaks last-write ties deterministically (the reference's
+    last-write-wins is arrival-order; batch needs a total order).
+    """
+    order = F.col(order_col) if order_col else F.col(ts_col)
+    keys = [tumbling_window(F.col(ts_col), interval).alias("window_start"),
+            F.col(name_col)] + [F.col(k) for k in (extra_keys or [])]
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.sum(v).alias("counter_sum"),
+        F.max_by(v, order).alias("gauge_last"),
+        F.count(v).alias("timer_count"),
+        F.min(v).alias("timer_min"),
+        F.max(v).alias("timer_max"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("timer_p50"),
+    )
+
+
+def statsd_aggregate_oracle_sql(
+    relation: str,
+    ts_col: str,
+    name_col: str,
+    value_col: str,
+    extra_keys: list[str] | None = None,
+    order_col: str | None = None,
+) -> str:
+    """DuckDB equivalent of :func:`statsd_aggregate` (1-hour window)."""
+    order = order_col or ts_col
+    keys = [f"date_trunc('hour', {ts_col}) AS window_start", name_col] + (extra_keys or [])
+    group = ", ".join(["date_trunc('hour', " + ts_col + ")", name_col] + (extra_keys or []))
+    return f"""
+SELECT {', '.join(keys)},
+  SUM({value_col}) AS counter_sum,
+  arg_max({value_col}, {order}) AS gauge_last,
+  COUNT({value_col}) AS timer_count,
+  MIN({value_col}) AS timer_min,
+  MAX({value_col}) AS timer_max,
+  percentile_cont(0.5) WITHIN GROUP (ORDER BY {value_col}) AS timer_p50
+FROM {relation}
+GROUP BY {group}
+"""

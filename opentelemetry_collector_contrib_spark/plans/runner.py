@@ -1,0 +1,172 @@
+"""The end-to-end pipeline (EP1 lifecycle, SURVEY.md section 3): one lazy
+DataFrame DAG — parse -> enrich -> route -> aggregate -> fan-out writes —
+replacing the reference's goroutine topology
+(internal/stanza/factory.go:45-97 + service pipeline wiring).
+
+Topology reproduced:
+
+  pages (Iceberg/parquet scan, column-pruned)
+    -> parse (router + regex/json extraction, one Arrow pandas UDF)
+    -> enrich (broadcast lookup join on domain + constant resource attrs)
+    -> route tag (predicate lanes + value table + default)
+    -> [metrics: accepted/refused/dropped/routed, single tagged-plan pass]
+    -> fan-out write partitionBy(route, day)      [exporters]
+    -> per-sink spanmetrics + statsd-window aggregates [batch-processor
+       semantics as grouped aggregates]
+
+Scale notes: the only shuffles are the two aggregates (both map-side
+partial); routing/fan-out is shuffle-free; the dimension join broadcasts;
+the pages scan prunes ``html`` out when the golden-text check is off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from .. import synth
+from ..functions import parse as parse_fns
+from ..operators import attributes, routing, spanmetrics, statsd
+from . import metrics as metrics_mod
+from .checkpoint import Manifest
+from ..sinks import writer
+
+ROUTING_CONFIG_TABLE = {"en": "sink_en", "de": "sink_de"}
+DEFAULT_SINK = "sink_other"
+SPANMETRIC_DIMS = ["route", "domain", "severity_text"]
+
+
+def routing_config() -> routing.RoutingConfig:
+    """FIXTURES.md F4: lang routing table + quarantine predicate lanes.
+    Lane order matters (routing.go:133-147: first match wins):
+    refused (unparseable) -> quarantine (HTTP error) -> lang table -> default.
+    """
+    return routing.RoutingConfig(
+        from_attribute="lang",
+        table=dict(ROUTING_CONFIG_TABLE),
+        default_sink=DEFAULT_SINK,
+        predicate_routes=[
+            ("sink_refused", ~F.col("parse_ok")),
+            ("sink_quarantine", F.col("status") >= 400),
+        ],
+    )
+
+
+def build_tagged(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """pages -> parsed + enriched + route-tagged rows (pure lazy plan)."""
+    parsed = parse_fns.parse_stage(pages)
+    # deterministic fetch-latency analogue, derived from page identity
+    parsed = parsed.withColumn(
+        "latency_ms", (F.col("page_id") * 97 % 160000).cast("double") / 10.0
+    )
+    # k8sprocessor-style broadcast enrichment (insert-if-absent)
+    dim = synth.domain_info(spark)
+    enriched = attributes.enrich_lookup(
+        parsed, dim, on="domain", attrs=["org", "category", "tier"], override=False
+    )
+    # resourcedetection-style constant resource attrs (insert-if-absent)
+    enriched = attributes.upsert_attrs(
+        enriched,
+        {"collector_name": F.lit("otelcol-spark"), "deployment_env": F.lit("prod")},
+        override=False,
+    )
+    tagged = routing.with_route(enriched, routing_config())
+    return tagged.withColumn("day", F.date_format("warc_ts", "yyyy-MM-dd"))
+
+
+@dataclass
+class PipelineResult:
+    tagged: DataFrame
+    route_counts: dict[str, int]
+    metrics: metrics_mod.PipelineMetrics
+    span_metrics: DataFrame
+    window_metrics: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str | None = None,
+    persist: bool = True,
+    write: bool = True,
+) -> PipelineResult:
+    """Execute the full DAG; optionally write sinks + aggregate tables."""
+    tagged = build_tagged(spark, pages)
+    if persist:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- pipeline metrics: ONE aggregation pass over the tagged plan ---
+    counts = {
+        r["route"]: r["rows"]
+        for r in metrics_mod.routed_counts(tagged).collect()
+    }
+    pm = metrics_mod.PipelineMetrics()
+    pm.add("receiver", "accepted", sum(counts.values()))
+    pm.add("receiver", "refused", counts.get("sink_refused", 0))
+    pm.add("exporter", "dropped", counts.get("sink_quarantine", 0))
+    for sink, n in counts.items():
+        if sink not in ("sink_refused", "sink_quarantine"):
+            pm.add("exporter", f"routed_{sink}", n)
+
+    # --- aggregates (batch-processor semantics as grouped aggregates) ---
+    span_m = spanmetrics.span_metrics(
+        tagged.filter(F.col("parse_ok")),
+        dims=SPANMETRIC_DIMS,
+        latency_col="latency_ms",
+        dim_defaults={"severity_text": "Undefined"},
+    )
+    win_m = statsd.statsd_aggregate(
+        tagged.filter(F.col("parse_ok")),
+        ts_col="warc_ts",
+        name_col="lang",
+        value_col="latency_ms",
+        interval="1 hour",
+        order_col="page_id",
+    )
+
+    if write and out_dir:
+        writer.write_fanout(tagged, f"{out_dir}/sinks")
+        span_m.write.mode("overwrite").parquet(f"{out_dir}/agg_spanmetrics")
+        win_m.write.mode("overwrite").parquet(f"{out_dir}/agg_window")
+        writer.write_metrics(pm.to_df(spark), out_dir, "pipeline")
+
+    if persist:
+        tagged.unpersist()
+    return PipelineResult(tagged, counts, pm, span_m, win_m)
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    manifest_path: str,
+    fail_after: int | None = None,
+) -> list[str]:
+    """Checkpointed per-partition run (north_rule resume-with-lineage).
+
+    Partition unit = day(warc_ts). Each pending day is processed and written
+    with dynamic partition overwrite, then committed to the manifest —
+    exactly the stanza offset-checkpoint pattern
+    (internal/stanza/storage.go:27-72). ``fail_after`` simulates a crash
+    after N partitions (for the resume test).
+    Returns the list of days processed this run.
+    """
+    tagged = build_tagged(spark, pages).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        all_days = sorted(r["day"] for r in tagged.select("day").distinct().collect())
+        man = Manifest(manifest_path)
+        todo = man.pending(all_days)
+        done: list[str] = []
+        for i, day in enumerate(todo):
+            if fail_after is not None and i >= fail_after:
+                break
+            part = tagged.filter(F.col("day") == day)
+            writer.write_fanout(part, f"{out_dir}/sinks", mode="overwrite")
+            man.mark_done(day)
+            done.append(day)
+        return done
+    finally:
+        tagged.unpersist()

@@ -1,0 +1,67 @@
+"""Checkpoint/resume: killed run + resume == uninterrupted run, byte-equal
+per-sink outputs, no duplicates, no gaps (FIXTURES.md F7; storage-extension
+analogue extension/storage/filestorage/client.go:53-84)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark import synth
+from opentelemetry_collector_contrib_spark.plans import runner
+from opentelemetry_collector_contrib_spark.plans.checkpoint import Manifest
+
+
+def _snapshot(spark, path):
+    df = spark.read.parquet(path).select("route", "day", "url", "message", "org")
+    return {tuple(r) for r in df.collect()}
+
+
+def test_manifest_atomic(tmp_path):
+    m = Manifest(str(tmp_path / "m.json"))
+    assert m.done() == set()
+    m.mark_done("2024-01-01")
+    m.mark_done("2024-01-02")
+    assert m.done() == {"2024-01-01", "2024-01-02"}
+    assert m.pending(["2024-01-01", "2024-01-03"]) == ["2024-01-03"]
+
+
+def test_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
+    pages = synth.pages_from_documents(spark, sf_dir)
+
+    # uninterrupted reference run
+    full_dir = str(tmp_path / "full")
+    runner.run_incremental(spark, pages, full_dir, str(tmp_path / "full.json"))
+    expected = _snapshot(spark, f"{full_dir}/sinks")
+
+    # run 1 crashes after 3 of 7 day-partitions
+    inc_dir = str(tmp_path / "inc")
+    man = str(tmp_path / "inc.json")
+    done1 = runner.run_incremental(spark, pages, inc_dir, man, fail_after=3)
+    assert len(done1) == 3
+    # run 2 resumes from the manifest
+    done2 = runner.run_incremental(spark, pages, inc_dir, man)
+    assert sorted(done1 + done2) == sorted(set(done1 + done2))  # no repeats
+    assert Manifest(man).pending(sorted(done1 + done2)) == []
+
+    got = _snapshot(spark, f"{inc_dir}/sinks")
+    assert got == expected  # no duplicates, no gaps, byte-identical fields
+
+
+def test_rerun_partition_idempotent(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite makes re-processing a committed partition
+    a no-op (duplicate-free under partial sink failure)."""
+    pages = synth.pages_from_documents(spark, sf_dir)
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "m.json")
+    runner.run_incremental(spark, pages, out, man, fail_after=2)
+    before = _snapshot(spark, f"{out}/sinks")
+    # wipe the manifest -> everything re-runs, including the 2 done days
+    Manifest(man).reset()
+    runner.run_incremental(spark, pages, out, man)
+    after = _snapshot(spark, f"{out}/sinks")
+    full = runner.run_incremental(
+        spark, pages, str(tmp_path / "ref"), str(tmp_path / "ref.json")
+    )
+    assert len(before) < len(after)
+    ref = _snapshot(spark, str(tmp_path / "ref") + "/sinks")
+    assert after == ref
