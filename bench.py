@@ -1,0 +1,121 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): end-to-end parse -> enrich -> route ->
+aggregate throughput in docs/sec over the Common-Crawl-style pages table.
+Pages are materialized to parquet once (untimed), then the timed job reads
+them back — so the measured path is scan -> pandas-UDF parse -> broadcast
+enrich -> route tag -> fan-out write + two grouped aggregates, exactly the
+production DAG.
+
+Also times the per-operator headline queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": docs_per_sec, "unit": "docs/sec",
+   "queries": {name: seconds}, "sf": ..., "cores": N, "pages": N}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES (default 400000),
+SPARK_GRAFT_BENCH_QUERIES=0 to skip the per-query section (scaling runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opentelemetry_collector_contrib_spark import synth  # noqa: E402
+from opentelemetry_collector_contrib_spark.plans import runner  # noqa: E402
+from opentelemetry_collector_contrib_spark.session import get_spark  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "parse_extract",
+    "route_counts",
+    "spanmetrics_histogram",
+    "statsd_window",
+    "enrich_lookup",
+    "tailsample",
+    "groupbytrace_sessions",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "tpch_q1",
+    "tpch_q3_top10",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "400000"))
+    run_queries = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("otelcol-spark-bench", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="otelcol_bench_")
+    try:
+        # ---- materialize pages (untimed) ----
+        pages_path = os.path.join(work, "pages")
+        synth.synth_pages(spark, n_pages, parts=cores * 2).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+
+        # ---- timed e2e pipeline ----
+        pages = spark.read.parquet(pages_path)
+        t0 = time.perf_counter()
+        res = runner.run_pipeline(
+            spark, pages, out_dir=os.path.join(work, "out"), write=True
+        )
+        e2e = time.perf_counter() - t0
+        docs_per_sec = n_pages / e2e
+        assert res.metrics.conservation_ok()
+
+        # ---- per-query timings at sf_dir ----
+        qsec: dict[str, float] = {"pipeline_e2e": round(e2e, 3)}
+        if run_queries:
+            import __spark_entry__ as entrymod
+
+            qs = entrymod.queries()
+            for name in HEADLINE_QUERIES:
+                t0 = time.perf_counter()
+                force(qs[name](spark, sf_dir))
+                qsec[name] = round(time.perf_counter() - t0, 3)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_e2e_throughput",
+                    "value": round(docs_per_sec, 1),
+                    "unit": "docs/sec",
+                    "queries": qsec,
+                    "sf": sf,
+                    "cores": cores,
+                    "pages": n_pages,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,316 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference engine has no dedup (it forwards every record), but a 100 TB
+web-page pipeline needs it; these are first-class operators here. Each has
+an ANSI-SQL oracle builder so the driver's DuckDB gate can verify it.
+
+Cross-engine hashing: Spark and DuckDB share md5; a 60-bit integer hash is
+``bigint(hex15(md5(s)))`` in both (conv(...,16,10) / ('0x'||...)::BIGINT).
+
+Scale design notes (the part that matters at 10^12 docs):
+  - exact: one hash-groupBy, map-side combinable, shuffle = distinct hashes.
+  - ngram-jaccard: the gram self-join explodes on hot grams; production use
+    pairs it with a stop-gram filter (drop grams in > F docs) — exposed via
+    ``max_doc_freq``. Shuffle keys are gram hashes (well-spread).
+  - minhash LSH: signatures are k grouped mins (map-side combinable);
+    banding turns O(n^2) similarity into equi-join on band keys — the
+    standard scale path. Candidate verification joins back to gram sets.
+  - simhash: one agg per doc + a hamming-ball self-join on rotated keys
+    (here: plain band on the high byte for the oracle-checkable variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_int(col: Column, salt: str = "") -> Column:
+    """60-bit integer hash shared with DuckDB."""
+    s = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str, salt: str = "") -> str:
+    e = f"'{salt}' || {expr}" if salt else expr
+    return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    surviving (min) id and the copy count."""
+    return (
+        docs.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_sql(relation: str, id_col: str, text_col: str) -> str:
+    return (
+        f"SELECT md5({text_col}) AS text_hash, MIN({id_col}) AS survivor_id,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_copies FROM {relation} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(text_col: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles (array<string>) as a Spark SQL expr.
+    Empty array when the text has fewer than n tokens."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _grams_df(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) exploded distinct shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(word_ngrams_expr(text_col, n))).alias("gram"),
+    )
+
+
+def _grams_sql(relation: str, id_col: str, text_col: str, n: int) -> str:
+    """DuckDB equivalent of :func:`_grams_df` (1-based list slicing)."""
+    idx = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"SELECT {id_col} AS doc, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 2}, 1)), i -> {idx}))) AS gram "
+        f"FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {relation})"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with shingle-set Jaccard >= threshold.
+
+    ``max_doc_freq`` drops grams appearing in more than F docs before the
+    self-join (stop-gram filter) — the knob that keeps the join linear-ish
+    at web scale. Exact sizes still use the unfiltered sets.
+    """
+    grams = _grams_df(docs, id_col, text_col, n)
+    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    joinable = grams
+    if max_doc_freq is not None:
+        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        joinable = grams.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("gram"), "gram"
+        )
+    b = joinable.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        joinable.select(F.col("doc").alias("doc_a"), "gram")
+        .join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def ngram_jaccard_pairs_sql(
+    relation: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH g AS ({_grams_sql(relation, id_col, text_col, n)}),
+sz AS (SELECT doc, COUNT(*) AS sz FROM g GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> verify (SURVEY/TASK
+    minhash+LSH dedup). Candidates share at least one full band of the
+    signature; candidates are then verified against true shingle Jaccard.
+    """
+    rows = num_hashes // bands
+    grams = _grams_df(docs, id_col, text_col, n)
+    sig = grams.groupBy("doc").agg(
+        *[
+            F.min(md5_int(F.col("gram"), salt=f"{s}:")).alias(f"mh_{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    # stack() emits all band keys in ONE pass over the signature (no
+    # re-computation of the gram aggregation per band)
+    stack_args = []
+    for b in range(bands):
+        key = ", ':', ".join(f"CAST(mh_{b * rows + r} AS STRING)" for r in range(rows))
+        stack_args.append(f"{b}, md5(CAST(concat({key}) AS BINARY))")
+    banded = sig.selectExpr(
+        "doc", f"stack({bands}, {', '.join(stack_args)}) AS (band, bucket)"
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with true jaccard
+    true_pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    return cand.join(true_pairs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_lsh_pairs_sql(
+    relation: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    rows = num_hashes // bands
+    mh_cols = ", ".join(
+        f"MIN({md5_int_sql('gram', f'{s}:')}) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || ':' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc, {b} AS band, md5({key}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH g AS ({_grams_sql(relation, id_col, text_col, n)}),
+sig AS (SELECT doc, {mh_cols} FROM g GROUP BY doc),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc < y.doc
+),
+sz AS (SELECT doc, COUNT(*) AS sz FROM g GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+  WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+)
+SELECT c.doc_a, c.doc_b, t.jaccard
+FROM cand c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc simhash over distinct tokens: bit i set iff the sum of
+    (+1/-1) contributions of token-hash bit i is positive."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).withColumn("h", md5_int(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    per_bit = toks.groupBy("doc").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return per_bit.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Pairs within hamming distance (small-scale exact self-join; the scale
+    path bands on signature bytes first)."""
+    s = simhash(docs, id_col, text_col, bits)
+    a = s.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = s.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    relation: str, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> str:
+    per_bit = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc, {md5_int_sql('tok')} AS h
+  FROM (SELECT {id_col}, unnest(list_distinct(string_split({text_col}, ' '))) AS tok
+        FROM {relation})
+),
+pb AS (SELECT doc, {per_bit} FROM t GROUP BY doc),
+s AS (SELECT doc, CAST({sim} AS BIGINT) AS simhash FROM pb)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path
+partitions the corpus with a coarse quantizer (IVF — here the provided
+``label`` column stands in for the centroid assignment) so each query only
+scans its cell. Both variants are pure DataFrame ops: the dot product is a
+JVM higher-order ``aggregate(zip_with(...))`` fold in double precision —
+no Python in the hot path.
+
+At 10^12 scale: brute force is O(Q x N) — only sane broadcast-side-down
+(small query set broadcast against the corpus, which is what the plan below
+produces: queries are the broadcast side of the join). IVF cuts N to N/cells
+per query; both sides stay shuffle-free apart from the final top-k
+aggregation, which is partial (per-partition top-k would be the next
+refinement via mapInPandas if k x queries grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision sequential fold — same element order as DuckDB's
+    list_cosine_similarity, so rounded values agree cross-engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+COSINE_SQL = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """For each query vector: top-k nearest corpus vectors by cosine
+    (excluding self), rank ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("cos", 5).alias("cos"))
+    )
+
+
+def brute_force_topk_sql(
+    relation: str,
+    query_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    cell_join: str = "",
+) -> str:
+    cos = COSINE_SQL.format(a=f"q.{vec_col}", b=f"c.{vec_col}")
+    return f"""
+WITH scored AS (
+  SELECT q.{id_col} AS q_id, c.{id_col} AS n_id, {cos} AS cos
+  FROM {relation} q JOIN {relation} c
+    ON q.{id_col} != c.{id_col} {cell_join}
+  WHERE {query_pred.replace(id_col, 'q.' + id_col)}
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 5) AS cos
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell (equi-join on the
+    centroid assignment instead of a cross join)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("cos", 5).alias("cos"))
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc-level near-dup by vector).
+    Exact all-pairs at test scale; the scale path pre-buckets by LSH
+    hyperplane signs (same banding machinery as dedup.minhash_lsh_pairs).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )
+
+
+def neardup_pairs_sql(
+    relation: str, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> str:
+    cos = COSINE_SQL.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, ROUND({cos}, 5) AS cos
+FROM {relation} a JOIN {relation} b ON a.{id_col} < b.{id_col}
+WHERE {cos} >= {threshold}
+"""
