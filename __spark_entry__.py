@@ -19,8 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark import synth
+from opentelemetry_collector_contrib_spark.functions import multimodal
 from opentelemetry_collector_contrib_spark.functions import parse as parse_fns
 from opentelemetry_collector_contrib_spark.functions import text as text_fns
+from opentelemetry_collector_contrib_spark.sinks import loki
+from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
+from opentelemetry_collector_contrib_spark.sources import text as src_text
 from opentelemetry_collector_contrib_spark.operators import (
     dedup,
     filters,
@@ -441,6 +445,159 @@ ORACLE_LOADBALANCE = (
 
 
 # ---------------------------------------------------------------------------
+# sources / sinks family (syslog, multiline, HEC, loki)
+# ---------------------------------------------------------------------------
+
+SYSLOG_LINE_EXPR = (
+    "concat('<', CAST(event_id % 192 AS STRING), '>1 2024-01-01T12:00:00Z ',"
+    " 'host', CAST(event_id % 7 AS STRING), ' app', CAST(event_id % 3 AS STRING),"
+    " ' ', CAST(event_id AS STRING), ' ev - msg for ', event_type)"
+)
+
+
+def q_syslog_rfc5424(spark, sf_dir):
+    # build RFC5424 lines deterministically from events, parse them back;
+    # the oracle recomputes every field by construction (lossless parse)
+    lines = _events(spark, sf_dir).select(
+        "event_id", F.expr(SYSLOG_LINE_EXPR).alias("line")
+    )
+    parsed = syslog.parse_rfc5424(lines)
+    return parsed.select(
+        "event_id", "pri", "facility", "severity", "hostname", "appname",
+        "procid", "msgid", "message", "parse_ok",
+    )
+
+
+ORACLE_SYSLOG = """
+SELECT event_id,
+  CAST(event_id % 192 AS INTEGER) AS pri,
+  CAST((event_id % 192) // 8 AS INTEGER) AS facility,
+  CAST(event_id % 192 % 8 AS INTEGER) AS severity,
+  'host' || CAST(event_id % 7 AS VARCHAR) AS hostname,
+  'app' || CAST(event_id % 3 AS VARCHAR) AS appname,
+  CAST(event_id AS VARCHAR) AS procid,
+  'ev' AS msgid,
+  'msg for ' || event_type AS message,
+  TRUE AS parse_ok
+FROM events
+"""
+
+
+MULTILINE_LINES_SQL = (
+    "SELECT source AS file, doc_id AS off, "  # 'offset' is reserved in DuckDB
+    "CASE WHEN doc_id % 4 = 0 THEN 'START ' || lang ELSE 'cont ' || lang END AS line "
+    "FROM documents"
+)
+
+
+def q_multiline_assemble(spark, sf_dir):
+    _docs(spark, sf_dir).createOrReplaceTempView("__ml_documents")
+    lines = spark.sql(MULTILINE_LINES_SQL.replace("documents", "__ml_documents"))
+    out = src_text.assemble_multiline(lines, r"^START ", offset_col="off", joiner="|")
+    return out.select("file", "block", "entry", "n_lines", "first_offset")
+
+
+ORACLE_MULTILINE = f"""
+WITH {src_text.assemble_multiline_oracle_sql(f'({MULTILINE_LINES_SQL})', '^START ', offset_col='off', joiner='|')}
+SELECT file, block, entry, n_lines, first_offset FROM multiline
+"""
+
+
+def q_hec_roundtrip(spark, sf_dir):
+    # exporter -> receiver round trip: rows -> HEC JSON -> parsed rows
+    # (logdata_to_splunk.go:41-95 inverse of receiver.go:240-262)
+    ev = _events(spark, sf_dir).withColumn("host", F.concat(F.lit("h"), F.col("user_id")))
+    hec = splunkhec.to_hec_events(ev, "host", "event_type", "props", "ts")
+    parsed = splunkhec.parse_hec_events(hec)
+    return parsed.groupBy("host", "source").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.get_json_object("event", "$.k").cast("long")).alias("sum_k"),
+        F.max(F.col("event_ts").cast("long")).alias("max_epoch"),
+    )
+
+
+ORACLE_HEC = """
+SELECT 'h' || CAST(user_id AS VARCHAR) AS host, event_type AS source,
+  COUNT(*) AS n_events,
+  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+  MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_loki_streams(spark, sf_dir):
+    # severity_in is only set for fmt-A rows, stream only for B/C; corrupt
+    # rows map no labels at all -> the labels='' dropped bucket
+    # (lokiexporter/exporter.go:123-136)
+    parsed = parse_fns.parse_stage(_pages(spark, sf_dir))
+    out = loki.to_loki_streams(
+        parsed, {"severity_in": "sev", "stream": "stream"}, "message"
+    )
+    return out
+
+
+ORACLE_LOKI = f"""{PAGES_CTE},
+lab AS (
+  SELECT COALESCE(array_to_string(list_filter([
+      CASE WHEN NOT corrupt AND fmt_id = 0 THEN 'sev=' || sev_in END,
+      CASE WHEN NOT corrupt AND fmt_id = 1 THEN 'stream=stdout'
+           WHEN NOT corrupt AND fmt_id = 2 THEN 'stream=stderr' END
+    ], x -> x IS NOT NULL), ','), '') AS labels,
+    CASE WHEN corrupt THEN NULL ELSE text END AS line
+  FROM pages)
+SELECT labels, COUNT(*) AS n_lines, SUM(strlen(line)) AS total_bytes
+FROM lab GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal family (binary payload plumbing; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.synth_media(spark, sf_dir)
+    return multimodal.decode_media_meta(media)
+
+
+ORACLE_MM_KIND = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+ORACLE_MM_DECODE = f"""
+SELECT doc_id AS media_id,
+  {ORACLE_MM_KIND} AS kind,
+  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 120 + 1 ELSE 1 END AS INTEGER) AS n_frames,
+  CAST(strlen('MM01|' || {ORACLE_MM_KIND} || '|' || CAST(doc_id % 640 + 16 AS VARCHAR)
+    || '|' || CAST(doc_id % 480 + 16 AS VARCHAR) || '|'
+    || CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 120 + 1 ELSE 1 END AS VARCHAR)
+    || '|' || text) AS INTEGER) AS payload_bytes,
+  substr(text, 1, 8) AS body_head
+FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    media = multimodal.synth_media(spark, sf_dir)
+    meta = multimodal.decode_media_meta(media)
+    return multimodal.frame_sample(meta, every=10)
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH meta AS ({ORACLE_MM_DECODE}),
+f AS (
+  SELECT media_id, payload_bytes,
+    unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10)) AS fi
+  FROM meta WHERE kind = 'video'
+)
+SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+       fi * payload_bytes AS frame_offset
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational checks (generic engine correctness)
 # ---------------------------------------------------------------------------
 
@@ -690,6 +847,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metricstransform_agg": q_metricstransform_agg,
         "metricsgen_rate": q_metricsgen_rate,
         "loadbalance_assign": q_loadbalance_assign,
+        # sources / sinks family
+        "syslog_rfc5424": q_syslog_rfc5424,
+        "multiline_assemble": q_multiline_assemble,
+        "hec_roundtrip": q_hec_roundtrip,
+        "loki_streams": q_loki_streams,
+        # multimodal plumbing
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         # relational sanity (joins/aggs/sort/limit)
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
@@ -730,6 +895,12 @@ def oracle_sql() -> dict[str, str]:
         "metricstransform_agg": ORACLE_MT_AGG,
         "metricsgen_rate": ORACLE_METRICSGEN,
         "loadbalance_assign": ORACLE_LOADBALANCE,
+        "syslog_rfc5424": ORACLE_SYSLOG,
+        "multiline_assemble": ORACLE_MULTILINE,
+        "hec_roundtrip": ORACLE_HEC,
+        "loki_streams": ORACLE_LOKI,
+        "multimodal_decode": ORACLE_MM_DECODE,
+        "frame_sample": ORACLE_FRAME_SAMPLE,
         "tpch_q1": ORACLE_TPCH_Q1,
         "tpch_q3_top10": ORACLE_TPCH_Q3,
         "broadcast_enrich_tpch": ORACLE_BROADCAST_ENRICH,

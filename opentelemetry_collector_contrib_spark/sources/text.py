@@ -1,0 +1,97 @@
+"""filelog receiver analogues: line input + multiline assembly.
+
+Reference: receiver/filelogreceiver/README.md:42-60 documents the multiline
+config (``line_start_pattern`` / ``line_end_pattern``) — the tailer merges
+continuation lines into one entry before the stanza pipeline parses it.
+
+Spark design: multiline assembly is a distributed prefix-scan, not a Python
+loop. Each line gets ``is_start = line RLIKE start_pattern``; a running sum
+of ``is_start`` over (file, offset) assigns every continuation line the
+block id of its most recent start; ``group by (file, block)`` concatenates.
+Both passes are JVM window/agg operators that partition by file — at 100 TB
+each file's lines stay in one task group, and files spread across the
+cluster (the same parallelism model as the reference's one-goroutine-per-
+tailed-file, receiver/filelogreceiver/README.md:13-29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_lines(spark: SparkSession, glob: str) -> DataFrame:
+    """filelog input: one row per line with (file, offset) lineage —
+    the fingerprint/offset identity the reference checkpoints
+    (internal/stanza/storage.go:27-72)."""
+    return (
+        spark.read.text(glob)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
+def assemble_multiline(
+    df: DataFrame,
+    start_pattern: str,
+    file_col: str = "file",
+    offset_col: str = "offset",
+    line_col: str = "line",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Merge continuation lines into entries (line_start_pattern semantics).
+
+    Returns (file, block, entry, n_lines) — ``entry`` is the start line plus
+    all following non-start lines joined by ``joiner``. Lines before the
+    first start form block 0 (emitted as-is, matching the tailer's behavior
+    of flushing un-matched prefixes).
+    """
+    w = Window.partitionBy(file_col).orderBy(offset_col)
+    blocks = df.withColumn(
+        "block",
+        F.sum(F.col(line_col).rlike(start_pattern).cast("int")).over(w),
+    )
+    return (
+        blocks.groupBy(file_col, "block")
+        .agg(
+            # sort_array on (offset, line) structs restores file order —
+            # collect_list alone is shuffle-order-dependent
+            F.expr(
+                f"concat_ws('{joiner}', transform("
+                f"sort_array(collect_list(struct({offset_col}, {line_col}))),"
+                f" s -> s.{line_col}))"
+            ).alias("entry"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(offset_col).alias("first_offset"),
+        )
+    )
+
+
+def assemble_multiline_oracle_sql(
+    relation: str,
+    start_pattern: str,
+    file_col: str = "file",
+    offset_col: str = "offset",
+    line_col: str = "line",
+    joiner: str = "\n",
+) -> str:
+    """DuckDB equivalent of :func:`assemble_multiline`. ``relation`` may be a
+    parenthesized subquery; it is aggregated as a CTE here."""
+    p = start_pattern.replace("'", "''")
+    j = joiner.replace("'", "''")
+    return f"""
+b AS (
+  SELECT {file_col}, {offset_col}, {line_col},
+    SUM(CASE WHEN regexp_matches({line_col}, '{p}') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY {file_col} ORDER BY {offset_col}) AS block
+  FROM {relation}
+),
+multiline AS (
+  SELECT {file_col}, block,
+    string_agg({line_col}, '{j}' ORDER BY {offset_col}) AS entry,
+    COUNT(*) AS n_lines, MIN({offset_col}) AS first_offset
+  FROM b GROUP BY 1, 2
+)"""

@@ -1,0 +1,86 @@
+"""Source (receiver-analogue) tests: syslog, multiline assembly, HEC.
+
+Style mirrors the reference's table-driven processor tests (SURVEY.md
+section 5): small hand-built inputs, hand-computed expected outputs.
+"""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
+from opentelemetry_collector_contrib_spark.sources import text as src_text
+
+
+def test_rfc5424_parse(spark):
+    lines = [
+        "<165>1 2024-01-02T03:04:05Z web01 nginx 4242 req [x@1 a=\"b\"] GET /index",
+        "<34>1 2024-01-02T03:04:05.123Z db02 postgres - - - checkpoint done",
+        "not a syslog line",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    rows = {r["line"]: r for r in syslog.parse_rfc5424(df).collect()}
+
+    r0 = rows[lines[0]]
+    assert (r0["pri"], r0["facility"], r0["severity"]) == (165, 20, 5)
+    assert r0["hostname"] == "web01" and r0["appname"] == "nginx"
+    assert r0["procid"] == "4242" and r0["msgid"] == "req"
+    assert r0["structured_data"] == '[x@1 a="b"]'
+    assert r0["message"] == "GET /index" and r0["parse_ok"]
+
+    r1 = rows[lines[1]]
+    assert (r1["pri"], r1["facility"], r1["severity"]) == (34, 4, 2)
+    assert r1["structured_data"] is None  # '-' nils out
+    assert r1["message"] == "checkpoint done"
+
+    assert not rows[lines[2]]["parse_ok"]
+
+
+def test_rfc3164_parse(spark):
+    df = spark.createDataFrame(
+        [("<13>Feb  5 17:32:18 host1 su[123]: 'su root' failed",),
+         ("<13>Feb  5 17:32:18 host1 cron: job started",)],
+        "line string",
+    )
+    r0, r1 = syslog.parse_rfc3164(df).collect()
+    assert (r0["facility"], r0["severity"]) == (1, 5)
+    assert r0["appname"] == "su" and r0["procid"] == 123
+    assert r0["message"] == "'su root' failed"
+    assert r1["appname"] == "cron" and r1["procid"] is None
+    assert r1["message"] == "job started"
+
+
+def test_assemble_multiline(spark):
+    # two files; continuation lines attach to the preceding start line;
+    # a leading continuation (f2 offset 0) forms block 0
+    data = [
+        ("f1", 0, "START a"), ("f1", 1, "  cont1"), ("f1", 2, "  cont2"),
+        ("f1", 3, "START b"),
+        ("f2", 0, "orphan"), ("f2", 1, "START c"), ("f2", 2, "  tail"),
+    ]
+    df = spark.createDataFrame(data, "file string, off long, line string")
+    out = {
+        (r["file"], r["block"]): r
+        for r in src_text.assemble_multiline(df, r"^START ", offset_col="off").collect()
+    }
+    assert out[("f1", 1)]["entry"] == "START a\n  cont1\n  cont2"
+    assert out[("f1", 2)]["entry"] == "START b"
+    assert out[("f2", 0)]["entry"] == "orphan"
+    assert out[("f2", 1)]["entry"] == "START c\n  tail"
+    assert out[("f1", 1)]["n_lines"] == 3
+    assert out[("f2", 1)]["first_offset"] == 1
+
+
+def test_hec_parse_refused(spark):
+    df = spark.createDataFrame(
+        [('{"time": 1700000000, "host": "h1", "source": "app",'
+          ' "sourcetype": "st", "index": "main", "event": "hello",'
+          ' "fields": {"k": "v"}}',),
+         ("this is not json",)],
+        "raw string",
+    )
+    rows = splunkhec.parse_hec_events(df).collect()
+    ok = [r for r in rows if r["parse_ok"]]
+    assert len(ok) == 1 and len(rows) == 2  # 1 accepted, 1 refused
+    r = ok[0]
+    assert r["host"] == "h1" and r["event"] == "hello"
+    assert r["fields"]["k"] == "v"
+    assert r["event_ts"].year == 2023
