@@ -443,6 +443,23 @@ ORACLE_LOADBALANCE = (
     + " AS backend FROM events"
 )
 
+RING_ENDPOINTS = ["backend-a:4317", "backend-b:4317", "backend-c:4317"]
+
+
+def q_consistent_ring(spark, sf_dir):
+    # full virtual-node ring with lower-bound lookup
+    # (consistent_hashing.go:24-105), not just hash-mod
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        loadbalancing.ring_assign("user_id", RING_ENDPOINTS).alias("backend"),
+    )
+
+
+ORACLE_RING = loadbalancing.ring_assign_oracle_sql(
+    "events", "user_id", "event_id", RING_ENDPOINTS
+)
+
 
 # ---------------------------------------------------------------------------
 # sources / sinks family (syslog, multiline, HEC, loki)
@@ -742,6 +759,14 @@ ORACLE_DEDUP_SIMHASH = dedup.simhash_pairs_sql(
 )
 
 
+def q_dedup_simhash_banded(spark, sf_dir):
+    # pigeonhole-banded candidate gen + verify: same pairs as the exact
+    # join (shares the exact oracle), but scales linearly
+    return dedup.simhash_pairs_banded(
+        _docs(spark, sf_dir), "doc_id", "text", bits=16, max_hamming=2
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
@@ -847,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metricstransform_agg": q_metricstransform_agg,
         "metricsgen_rate": q_metricsgen_rate,
         "loadbalance_assign": q_loadbalance_assign,
+        "consistent_ring": q_consistent_ring,
         # sources / sinks family
         "syslog_rfc5424": q_syslog_rfc5424,
         "multiline_assemble": q_multiline_assemble,
@@ -864,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_banded": q_dedup_simhash_banded,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -895,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "metricstransform_agg": ORACLE_MT_AGG,
         "metricsgen_rate": ORACLE_METRICSGEN,
         "loadbalance_assign": ORACLE_LOADBALANCE,
+        "consistent_ring": ORACLE_RING,
         "syslog_rfc5424": ORACLE_SYSLOG,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
@@ -908,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_simhash_banded": ORACLE_DEDUP_SIMHASH,
         "embedding_neardup": ORACLE_EMB_NEARDUP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ann_ivf": ORACLE_ANN_IVF,

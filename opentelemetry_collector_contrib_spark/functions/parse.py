@@ -100,6 +100,14 @@ _FMT_B_RE = re.compile(
 )
 
 
+def _loads_or_none(v: str):
+    try:
+        obj = json.loads(v)
+        return obj if isinstance(obj, dict) else None
+    except (ValueError, TypeError):
+        return None
+
+
 @pandas_udf(PARSED_STRUCT)
 def parse_html(html: pd.Series) -> pd.DataFrame:
     """Decode html bytes, route the embedded body line across the three
@@ -111,62 +119,60 @@ def parse_html(html: pd.Series) -> pd.DataFrame:
 
     The extracted ``message`` must be byte-identical to the page's golden
     ``text`` column (north_star per-row invariant) — asserted in tests.
+
+    Hot path discipline: every step is a whole-Series pandas op (str.decode,
+    str.extract, combine_first); the only per-row Python is json.loads on
+    the JSON-format subset (a real parse, like the stanza json_parser).
     """
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    s = html.str.decode("utf-8", errors="replace").fillna("")
     title = s.str.extract(_TITLE_RE, expand=False)
     status = s.str.extract(_STATUS_RE, expand=False).astype("float").astype("Int32")
-    body = s.str.extract(_PRE_RE, expand=False)
+    body = s.str.extract(_PRE_RE, expand=False).fillna("")
 
-    n = len(s)
-    out = pd.DataFrame(
+    is_c = body.str.startswith("{")
+
+    # formats A and B extracted over the full Series (one C-speed regex pass
+    # each; non-matching rows yield NaN), then routed with combine_first
+    ext_a = body.str.extract(_FMT_A_RE)
+    ext_b = body.str.extract(_FMT_B_RE)
+    a_ok = ext_a[0].notna() & ~is_c
+    b_ok = ext_b[0].notna() & ~is_c & ~a_ok
+
+    # format C: real JSON parse on the subset only
+    c_obj = body[is_c].map(_loads_or_none) if is_c.any() else pd.Series(dtype="object")
+    c_ok_sub = c_obj.notna()
+    c_time = c_obj.map(lambda o: o.get("time") if o else None)
+    c_stream = c_obj.map(lambda o: o.get("stream") if o else None)
+    c_log = c_obj.map(lambda o: o.get("log") if o else None)
+
+    idx = s.index
+    c_ok = c_ok_sub.reindex(idx, fill_value=False)
+
+    def pick(a_vals, b_vals, c_vals):
+        out = pd.Series([None] * len(idx), index=idx, dtype="object")
+        if a_vals is not None:
+            out[a_ok] = a_vals[a_ok]
+        if b_vals is not None:
+            out[b_ok] = b_vals[b_ok]
+        if c_vals is not None:
+            out[c_ok] = c_vals.reindex(idx)[c_ok]
+        return out
+
+    fmt = pd.Series([None] * len(idx), index=idx, dtype="object")
+    fmt[a_ok], fmt[b_ok], fmt[c_ok] = "A", "B", "C"
+
+    return pd.DataFrame(
         {
             "title": title,
-            "fmt": pd.Series([None] * n, dtype="object"),
-            "event_time": pd.Series([None] * n, dtype="object"),
-            "severity_text": pd.Series([None] * n, dtype="object"),
-            "stream": pd.Series([None] * n, dtype="object"),
-            "message": pd.Series([None] * n, dtype="object"),
+            "fmt": fmt,
+            "event_time": pick(ext_a[0], ext_b[0], c_time),
+            "severity_text": pick(ext_a[1], None, None),
+            "stream": pick(None, ext_b[1], c_stream),
+            "message": pick(ext_a[2], ext_b[3], c_log),
             "status": status,
-            "parse_ok": pd.Series([False] * n, dtype="bool"),
+            "parse_ok": (a_ok | b_ok | c_ok),
         }
     )
-    body_nn = body.fillna("")
-
-    is_c = body_nn.str.startswith("{")
-    is_b = ~is_c & body_nn.str.match(r"^\d{4}-\d{2}-\d{2}T")
-    is_a = ~is_c & ~is_b & body_nn.str.match(r"^\d{4}-\d{2}-\d{2} ")
-
-    if is_a.any():
-        ext = body_nn[is_a].str.extract(_FMT_A_RE)
-        ok = ext[0].notna()
-        idx = ext.index[ok]
-        out.loc[idx, "fmt"] = "A"
-        out.loc[idx, "event_time"] = ext.loc[idx, 0]
-        out.loc[idx, "severity_text"] = ext.loc[idx, 1]
-        out.loc[idx, "message"] = ext.loc[idx, 2]
-        out.loc[idx, "parse_ok"] = True
-    if is_b.any():
-        ext = body_nn[is_b].str.extract(_FMT_B_RE)
-        ok = ext[0].notna()
-        idx = ext.index[ok]
-        out.loc[idx, "fmt"] = "B"
-        out.loc[idx, "event_time"] = ext.loc[idx, 0]
-        out.loc[idx, "stream"] = ext.loc[idx, 1]
-        out.loc[idx, "message"] = ext.loc[idx, 3]
-        out.loc[idx, "parse_ok"] = True
-    if is_c.any():
-        # real JSON parse (stanza json_parser analogue) on the C subset only
-        for i, v in body_nn[is_c].items():
-            try:
-                obj = json.loads(v)
-            except (ValueError, TypeError):
-                continue
-            out.at[i, "fmt"] = "C"
-            out.at[i, "event_time"] = obj.get("time")
-            out.at[i, "stream"] = obj.get("stream")
-            out.at[i, "message"] = obj.get("log")
-            out.at[i, "parse_ok"] = True
-    return out
 
 
 def parse_stage(pages: DataFrame) -> DataFrame:

@@ -293,6 +293,46 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_banded(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Scale path for :func:`simhash_pairs` — identical result set.
+
+    Pigeonhole banding: split the signature into ``max_hamming + 1`` chunks;
+    two signatures within hamming distance d must agree exactly on at least
+    one chunk, so candidate generation is an equi-join on (chunk_id, chunk
+    value) instead of a cross join, then candidates verify with bit_count.
+    Same result as the exact join (asserted in tests), shuffle is linear in
+    docs x chunks.
+    """
+    n_chunks = max_hamming + 1
+    width = (bits + n_chunks - 1) // n_chunks
+    mask = (1 << width) - 1
+    s = simhash(docs, id_col, text_col, bits)
+    chunks = s.selectExpr(
+        "doc",
+        "simhash",
+        f"explode(transform(sequence(0, {n_chunks - 1}),"
+        f" c -> struct(c AS chunk, shiftright(simhash, c * {width}) & {mask} AS v)"
+        f")) AS ck",
+    ).select("doc", "simhash", "ck.chunk", "ck.v")
+    a = chunks.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "chunk", "v"
+    )
+    b = chunks.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "chunk", "v"
+    )
+    return (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("h_a"), F.col("h_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_pairs_sql(
     relation: str, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
 ) -> str:

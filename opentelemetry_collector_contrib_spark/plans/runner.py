@@ -86,32 +86,7 @@ class PipelineResult:
     window_metrics: DataFrame
 
 
-def run_pipeline(
-    spark: SparkSession,
-    pages: DataFrame,
-    out_dir: str | None = None,
-    persist: bool = True,
-    write: bool = True,
-) -> PipelineResult:
-    """Execute the full DAG; optionally write sinks + aggregate tables."""
-    tagged = build_tagged(spark, pages)
-    if persist:
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # --- pipeline metrics: ONE aggregation pass over the tagged plan ---
-    counts = {
-        r["route"]: r["rows"]
-        for r in metrics_mod.routed_counts(tagged).collect()
-    }
-    pm = metrics_mod.PipelineMetrics()
-    pm.add("receiver", "accepted", sum(counts.values()))
-    pm.add("receiver", "refused", counts.get("sink_refused", 0))
-    pm.add("exporter", "dropped", counts.get("sink_quarantine", 0))
-    for sink, n in counts.items():
-        if sink not in ("sink_refused", "sink_quarantine"):
-            pm.add("exporter", f"routed_{sink}", n)
-
-    # --- aggregates (batch-processor semantics as grouped aggregates) ---
+def _agg_pair(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:
     span_m = spanmetrics.span_metrics(
         tagged.filter(F.col("parse_ok")),
         dims=SPANMETRIC_DIMS,
@@ -126,13 +101,76 @@ def run_pipeline(
         interval="1 hour",
         order_col="page_id",
     )
+    return span_m, win_m
+
+
+def _metrics_from_counts(counts: dict[str, int]) -> metrics_mod.PipelineMetrics:
+    pm = metrics_mod.PipelineMetrics()
+    pm.add("receiver", "accepted", sum(counts.values()))
+    pm.add("receiver", "refused", counts.get("sink_refused", 0))
+    pm.add("exporter", "dropped", counts.get("sink_quarantine", 0))
+    for sink, n in counts.items():
+        if sink not in ("sink_refused", "sink_quarantine"):
+            pm.add("exporter", f"routed_{sink}", n)
+    return pm
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str | None = None,
+    persist: bool = False,
+    write: bool = True,
+) -> PipelineResult:
+    """Execute the full DAG; optionally write sinks + aggregate tables.
+
+    Scale design (writing mode): the expensive parse runs EXACTLY ONCE — the
+    fan-out write carries `Observation` metrics (per-route conditional sums
+    riding the same pass, obsreport-style), and the two aggregates re-scan
+    the just-written columnar sinks with column pruning instead of caching
+    the working set (at 100 TB, persist() of the full stream is the wrong
+    tool: it serializes everything into executor memory/disk; a pruned
+    re-scan of 5 output columns is far cheaper and embarrassingly parallel).
+    """
+    tagged = build_tagged(spark, pages)
+    cfg = routing_config()
+    route_names = [name for name, _ in cfg.predicate_routes] + list(
+        cfg.table.values()
+    ) + [cfg.default_sink]
 
     if write and out_dir:
-        writer.write_fanout(tagged, f"{out_dir}/sinks")
+        from pyspark.sql import Observation
+
+        obs = Observation("route_counts")
+        observed = tagged.drop("text").observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("route") == r, 1).otherwise(0)).alias(r)
+                for r in route_names
+            ],
+        )
+        # sinks carry the parsed record (message == extracted text); the
+        # golden `text` column is test-only and would double sink bytes
+        writer.write_fanout(observed, f"{out_dir}/sinks")
+        counts = {r: int(v) for r, v in obs.get.items() if v}
+        pm = _metrics_from_counts(counts)
+
+        sink_rows = spark.read.parquet(f"{out_dir}/sinks")
+        span_m, win_m = _agg_pair(sink_rows)
         span_m.write.mode("overwrite").parquet(f"{out_dir}/agg_spanmetrics")
         win_m.write.mode("overwrite").parquet(f"{out_dir}/agg_window")
         writer.write_metrics(pm.to_df(spark), out_dir, "pipeline")
+        return PipelineResult(tagged, counts, pm, span_m, win_m)
 
+    # no-write mode (tests / interactive): one cached pass, counts collect
+    if persist:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["route"]: r["rows"]
+        for r in metrics_mod.routed_counts(tagged).collect()
+    }
+    pm = _metrics_from_counts(counts)
+    span_m, win_m = _agg_pair(tagged)
     if persist:
         tagged.unpersist()
     return PipelineResult(tagged, counts, pm, span_m, win_m)
@@ -163,7 +201,7 @@ def run_incremental(
         for i, day in enumerate(todo):
             if fail_after is not None and i >= fail_after:
                 break
-            part = tagged.filter(F.col("day") == day)
+            part = tagged.filter(F.col("day") == day).drop("text")
             writer.write_fanout(part, f"{out_dir}/sinks", mode="overwrite")
             man.mark_done(day)
             done.append(day)

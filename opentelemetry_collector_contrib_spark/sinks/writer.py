@@ -31,11 +31,26 @@ def write_fanout(
     route_col: str = "route",
     day_col: str | None = "day",
     mode: str = "overwrite",
+    files_per_partition: int = 1,
 ) -> None:
-    """One-pass fan-out write, partitioned by sink (and day for pruning)."""
+    """One-pass fan-out write, partitioned by sink (and day for pruning).
+
+    Without clustering, every task writes a file into every (route, day)
+    directory — tasks x partitions files (the classic small-file explosion;
+    at cluster scale that is millions of files per job). One hash shuffle on
+    the partition columns first means each (route, day) is written by
+    exactly ``files_per_partition`` tasks; raise it when single partitions
+    are too large for one task (e.g. hot routes at 100 TB).
+    """
     parts = [route_col] + ([day_col] if day_col else [])
+    if files_per_partition > 1:
+        salt = F.pmod(F.crc32(F.col(route_col).cast("binary")) + F.monotonically_increasing_id(),
+                      F.lit(files_per_partition))
+        clustered = df.repartition(*[F.col(c) for c in parts], salt)
+    else:
+        clustered = df.repartition(*[F.col(c) for c in parts])
     (
-        df.write.mode(mode)
+        clustered.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*parts)
         .parquet(base_path)

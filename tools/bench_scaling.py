@@ -1,0 +1,78 @@
+"""Two-cluster-size scaling evidence (north_rule: efficiency >= 0.8 N->4N).
+
+No real cluster exists in this sandbox, so the criterion is evidenced the
+way BASELINE.md documents: the identical end-to-end pipeline job at two
+local parallelism levels (local[8] vs local[32]) over the same input size,
+reporting docs/sec at both plus scaling efficiency
+(throughput_4N / throughput_N) / 4.
+
+Each level runs in its own subprocess (own JVM/SparkSession). Results are
+appended to BENCH.md.
+
+Usage: python tools/bench_scaling.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+TRIALS = 2  # best-of: this VM shows heavy run-to-run noise (CPU steal)
+
+
+def run_level(cores: int, n_pages: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_PAGES=str(n_pages),
+        SPARK_GRAFT_BENCH_QUERIES="0",
+    )
+    # taskset pins the WHOLE process tree (JVM + GC threads + python
+    # workers) to exactly `cores` CPUs — without it the local[8] run leaks
+    # GC/IO/python work onto the other 24 cores and fakes a high baseline,
+    # which is not how an 8-core cluster node behaves
+    cpu_list = f"0-{cores - 1}"
+    best = None
+    for t in range(TRIALS):
+        out = subprocess.run(
+            ["taskset", "-c", cpu_list, sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True,
+        )
+        if out.returncode != 0:
+            print(f"# trial {t} cores={cores} failed:\n{out.stderr[-2000:]}",
+                  file=sys.stderr)
+            continue
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["value"] > best["value"]:
+            best = r
+    if best is None:
+        sys.exit(f"all {TRIALS} trials failed at cores={cores}")
+    return best
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    lo, hi = 8, 32
+    r_lo = run_level(lo, n_pages)
+    r_hi = run_level(hi, n_pages)
+    eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "n_pages": n_pages,
+        "trials_per_level": TRIALS,
+        f"docs_per_sec_local[{lo}]": r_lo["value"],
+        f"docs_per_sec_local[{hi}]": r_hi["value"],
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
