@@ -195,6 +195,36 @@ FROM agg
 """
 
 
+def q_spanmetrics_salted(spark, sf_dir):
+    # same aggregate via the two-phase salted path (hot-domain skew
+    # handling, north_rule) — results identical to the plain groupBy
+    tagged = _tagged(spark, sf_dir).filter("parse_ok")
+    out = spanmetrics.salted_group_agg(
+        tagged,
+        ["route", "domain"],
+        {
+            "calls_total": ("latency_ms", "count", "sum"),
+            "latency_sum": ("latency_ms", "sum", "sum"),
+            "latency_max": ("latency_ms", "max", "max"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "route", "domain", "calls_total",
+        F.round("latency_sum", 4).alias("latency_sum"), "latency_max",
+    )
+
+
+ORACLE_SPANMETRICS_SALTED = f"""{PAGES_CTE},
+routed AS (
+  SELECT {ROUTE_CASE} AS route, domain, latency_ms FROM pages WHERE NOT corrupt
+)
+SELECT route, domain, COUNT(latency_ms) AS calls_total,
+  ROUND(SUM(latency_ms), 4) AS latency_sum, MAX(latency_ms) AS latency_max
+FROM routed GROUP BY 1, 2
+"""
+
+
 def q_statsd_window(spark, sf_dir):
     tagged = _tagged(spark, sf_dir).filter("parse_ok")
     agg = statsd.statsd_aggregate(
@@ -220,6 +250,33 @@ SELECT CAST(date_trunc('hour', warc_ts) AS VARCHAR) AS window_start, lang,
   MAX(latency_ms) AS timer_max,
   ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY latency_ms), 6) AS timer_p50
 FROM ok GROUP BY 1, 2
+"""
+
+
+def q_statsd_percentiles(spark, sf_dir):
+    # timer summary percentiles (statsd_parser.go:168-218) over events
+    ev = _events(spark, sf_dir)
+    out = statsd.timer_summary(ev, "ts", "event_type", "value", "1 day")
+    cols = ["window_start", "event_type", "n_obs"] + [
+        F.round(f"p{int(p*100)}", 6).alias(f"p{int(p*100)}")
+        for p in (0.0, 0.1, 0.5, 0.9, 0.95, 0.99, 1.0)
+    ]
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        *cols[1:],
+    )
+
+
+def _oracle_statsd_percentiles() -> str:
+    inner = statsd.timer_summary_oracle_sql("events", "ts", "event_type", "value")
+    rounded = ", ".join(
+        f"ROUND(p{int(p*100)}, 6) AS p{int(p*100)}"
+        for p in (0.0, 0.1, 0.5, 0.9, 0.95, 0.99, 1.0)
+    )
+    return f"""
+SELECT CAST(CAST(window_start AS TIMESTAMP) AS VARCHAR) AS window_start,
+  event_type, n_obs, {rounded}
+FROM ({inner.replace("date_trunc('hour'", "date_trunc('day'")})
 """
 
 
@@ -858,7 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_rows": q_routed_rows,
         "enrich_lookup": q_enrich_lookup,
         "spanmetrics_histogram": q_spanmetrics_histogram,
+        "spanmetrics_salted": q_spanmetrics_salted,
         "statsd_window": q_statsd_window,
+        "statsd_percentiles": q_statsd_percentiles,
         "multimodal_meta": q_multimodal_meta,
         # events family (processor semantics)
         "router_json": q_router_json,
@@ -909,7 +968,9 @@ def oracle_sql() -> dict[str, str]:
         "routed_rows": ORACLE_ROUTED_ROWS,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "spanmetrics_histogram": _oracle_spanmetrics(),
+        "spanmetrics_salted": ORACLE_SPANMETRICS_SALTED,
         "statsd_window": ORACLE_STATSD_WINDOW,
+        "statsd_percentiles": _oracle_statsd_percentiles(),
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "router_json": ORACLE_ROUTER_JSON,
         "statsd_lines": ORACLE_STATSD_LINES,

@@ -109,7 +109,7 @@ def span_metrics_oracle_sql(
 def salted_group_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, tuple[str, str]],
+    aggs: dict[str, tuple[str, str, str]],
     salt_buckets: int = 32,
 ) -> DataFrame:
     """Two-phase salted aggregation for skewed keys (north_rule: "skew from

@@ -71,6 +71,47 @@ def statsd_aggregate(
     )
 
 
+def timer_summary(
+    df: DataFrame,
+    ts_col: str,
+    name_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+    percentiles: tuple[float, ...] = (0.0, 0.1, 0.5, 0.9, 0.95, 0.99, 1.0),
+) -> DataFrame:
+    """Timer -> summary percentiles per flush window, the statsd timer
+    summary path (statsd_parser.go:168-218: observations -> percentile
+    summary). Exact `percentile` (linear interpolation) so the DuckDB
+    oracle (percentile_cont) reproduces values bit-for-bit; at true scale
+    swap in percentile_approx, which shares the same API shape."""
+    keys = [tumbling_window(F.col(ts_col), interval).alias("window_start"), F.col(name_col)]
+    aggs = [F.count(F.col(value_col)).alias("n_obs")] + [
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def timer_summary_oracle_sql(
+    relation: str,
+    ts_col: str,
+    name_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.0, 0.1, 0.5, 0.9, 0.95, 0.99, 1.0),
+) -> str:
+    """DuckDB equivalent of :func:`timer_summary` (1-hour window)."""
+    ps = ", ".join(
+        f"percentile_cont({p}) WITHIN GROUP (ORDER BY {value_col}) AS p{int(p * 100)}"
+        for p in percentiles
+    )
+    return f"""
+SELECT date_trunc('hour', {ts_col}) AS window_start, {name_col},
+  COUNT({value_col}) AS n_obs, {ps}
+FROM {relation}
+GROUP BY 1, 2
+"""
+
+
 def statsd_aggregate_oracle_sql(
     relation: str,
     ts_col: str,
