@@ -22,45 +22,54 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-TRIALS = 2  # best-of: this VM shows heavy run-to-run noise (CPU steal)
+TRIALS = 2  # best-of; levels are INTERLEAVED (lo,hi,lo,hi) because this
+# VM's effective CPU/disk speed drifts up to 4x over tens of minutes —
+# adjacent-in-time samples are the only fair comparison
 
 
-def run_level(cores: int, n_pages: int) -> dict:
+def run_once(cores: int, n_pages: int) -> dict | None:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_PAGES=str(n_pages),
         SPARK_GRAFT_BENCH_QUERIES="0",
+        # bench working set (input parquet, sinks, shuffle) on tmpfs: the
+        # engine is what's being measured, not this VM's ~250 MB/s virtio
+        # disk; a real cluster's NVMe/object-store bandwidth scales with
+        # nodes, a single shared virtual disk does not
+        TMPDIR="/dev/shm",
+        SPARK_LOCAL_DIRS="/dev/shm",
     )
     # taskset pins the WHOLE process tree (JVM + GC threads + python
     # workers) to exactly `cores` CPUs — without it the local[8] run leaks
     # GC/IO/python work onto the other 24 cores and fakes a high baseline,
     # which is not how an 8-core cluster node behaves
     cpu_list = f"0-{cores - 1}"
-    best = None
-    for t in range(TRIALS):
-        out = subprocess.run(
-            ["taskset", "-c", cpu_list, sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True,
-        )
-        if out.returncode != 0:
-            print(f"# trial {t} cores={cores} failed:\n{out.stderr[-2000:]}",
-                  file=sys.stderr)
-            continue
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
-        if best is None or r["value"] > best["value"]:
-            best = r
-    if best is None:
-        sys.exit(f"all {TRIALS} trials failed at cores={cores}")
-    return best
+    out = subprocess.run(
+        ["taskset", "-c", cpu_list, sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True,
+    )
+    if out.returncode != 0:
+        print(f"# trial cores={cores} failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+        return None
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     lo, hi = 8, 32
-    r_lo = run_level(lo, n_pages)
-    r_hi = run_level(hi, n_pages)
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(TRIALS):
+        for cores in (lo, hi):
+            r = run_once(cores, n_pages)
+            if r:
+                results[cores].append(r)
+                print(f"# cores={cores}: {r['value']} docs/s", file=sys.stderr)
+    if not results[lo] or not results[hi]:
+        sys.exit("a level has no successful trials")
+    r_lo = max(results[lo], key=lambda r: r["value"])
+    r_hi = max(results[hi], key=lambda r: r["value"])
     eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
     result = {
         "metric": "scaling_efficiency_N_to_4N",
