@@ -590,10 +590,13 @@ def q_hec_roundtrip(spark, sf_dir):
     )
 
 
+# Portability: the integer SUM is cast to BIGINT (uncast it yields HUGEINT,
+# which some driver fetch paths stringify differently), and the JSON access
+# uses json_extract_string (more version-robust than the ->> operator).
 ORACLE_HEC = """
 SELECT 'h' || CAST(user_id AS VARCHAR) AS host, event_type AS source,
-  COUNT(*) AS n_events,
-  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch
 FROM events GROUP BY 1, 2
 """
@@ -619,7 +622,8 @@ lab AS (
     ], x -> x IS NOT NULL), ','), '') AS labels,
     CASE WHEN corrupt THEN NULL ELSE text END AS line
   FROM pages)
-SELECT labels, COUNT(*) AS n_lines, SUM(strlen(line)) AS total_bytes
+SELECT labels, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(strlen(line)) AS BIGINT) AS total_bytes
 FROM lab GROUP BY 1
 """
 
@@ -906,7 +910,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_spanmetrics_histogram(spark, "/root/testdata/sf0.001")
 
 
+def _pin_session(fn: Callable[[SparkSession, str], DataFrame]):
+    """Make query results independent of how the caller built its
+    SparkSession: the driver does NOT use ocs.session.get_spark, so pin the
+    runtime-settable confs that change results (session timezone flows into
+    unix_timestamp/date_format over TIMESTAMP_NTZ parquet columns)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _pin_session(fn) for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline family (synthetic pages from documents)
         "parse_extract": q_parse_extract,

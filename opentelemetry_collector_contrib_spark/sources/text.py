@@ -82,16 +82,24 @@ def assemble_multiline_oracle_sql(
     parenthesized subquery; it is aggregated as a CTE here."""
     p = start_pattern.replace("'", "''")
     j = joiner.replace("'", "''")
+    # Portability notes (driver's DuckDB version is unknown):
+    #  - the window SUM is cast to BIGINT — uncast integer SUM yields
+    #    HUGEINT (int128), which some fetch paths stringify differently;
+    #  - in-group ordering goes through list_sort over (offset, line)
+    #    structs instead of `string_agg(... ORDER BY ...)`, which not every
+    #    version honors deterministically under parallel scans.
     return f"""
 b AS (
   SELECT {file_col}, {offset_col}, {line_col},
-    SUM(CASE WHEN regexp_matches({line_col}, '{p}') THEN 1 ELSE 0 END)
-      OVER (PARTITION BY {file_col} ORDER BY {offset_col}) AS block
+    CAST(SUM(CASE WHEN regexp_matches({line_col}, '{p}') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY {file_col} ORDER BY {offset_col}) AS BIGINT) AS block
   FROM {relation}
 ),
 multiline AS (
   SELECT {file_col}, block,
-    string_agg({line_col}, '{j}' ORDER BY {offset_col}) AS entry,
-    COUNT(*) AS n_lines, MIN({offset_col}) AS first_offset
+    array_to_string(list_transform(
+      list_sort(list({{'o': {offset_col}, 'l': {line_col}}})), x -> x.l),
+      '{j}') AS entry,
+    CAST(COUNT(*) AS BIGINT) AS n_lines, MIN({offset_col}) AS first_offset
   FROM b GROUP BY 1, 2
 )"""
