@@ -797,6 +797,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 ORACLE_DEDUP_JACCARD = dedup.ngram_jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.5)
 
 
+def q_dedup_ngram_jaccard_stopgram(spark, sf_dir):
+    # stop-gram filter: grams in more than max_doc_freq docs are dropped
+    # before the self-join — the knob that keeps the gram join linear-ish
+    # at web scale (hot shingles stop exploding the join)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", 3, 0.5, max_doc_freq=4
+    )
+
+
+ORACLE_DEDUP_JACCARD_STOPGRAM = dedup.ngram_jaccard_pairs_sql(
+    "documents", "doc_id", "text", 3, 0.5, max_doc_freq=4
+)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=8, bands=4,
@@ -833,6 +847,12 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 ORACLE_EMB_NEARDUP = similarity.neardup_pairs_sql("embeddings", threshold=0.45)
+
+
+def q_embedding_neardup_banded(spark, sf_dir):
+    # anchor-cell (pivot-pruned) scale path — provably identical result to
+    # the all-pairs join, so it shares ORACLE_EMB_NEARDUP
+    return similarity.neardup_pairs_banded(_emb(spark, sf_dir), threshold=0.45)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -971,10 +991,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_banded": q_dedup_simhash_banded,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_banded": q_embedding_neardup_banded,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
@@ -1019,10 +1041,12 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_enrich_tpch": ORACLE_BROADCAST_ENRICH,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_ngram_jaccard_stopgram": ORACLE_DEDUP_JACCARD_STOPGRAM,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_banded": ORACLE_DEDUP_SIMHASH,
         "embedding_neardup": ORACLE_EMB_NEARDUP,
+        "embedding_neardup_banded": ORACLE_EMB_NEARDUP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ann_ivf": ORACLE_ANN_IVF,
         "lang_id": _oracle_lang_id(),

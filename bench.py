@@ -43,9 +43,13 @@ HEADLINE_QUERIES = [
     "tailsample",
     "groupbytrace_sessions",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # the stop-gram variant is the scale path (hot shingles capped before
+    # the self-join); the unfiltered all-pairs variant stays a correctness
+    # query but is not a headline number
+    "dedup_ngram_jaccard_stopgram",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_banded",
+    "embedding_neardup_banded",
     "ann_topk",
     "lang_id",
     "quality_score",

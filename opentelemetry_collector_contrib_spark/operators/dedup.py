@@ -93,6 +93,62 @@ def _grams_sql(relation: str, id_col: str, text_col: str, n: int) -> str:
     )
 
 
+def _stop_filtered(grams: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop grams appearing in more than ``max_doc_freq`` docs (stop-gram /
+    boilerplate filter). Doc-frequency comes from a window over gram, NOT a
+    groupBy+join: the window's shuffle-by-gram is exactly the partitioning
+    a following gram self-join needs, so the filter costs no extra
+    exchange (a join against the ~|distinct grams| frequency table would
+    broadcast/shuffle it once per join side)."""
+    if max_doc_freq is None:
+        return grams
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gram")
+    return (
+        grams.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    grams: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle Jaccard computed ONLY for the given candidate pairs.
+
+    ``pairs`` is (doc_a, doc_b); ``grams`` is the exploded (doc, gram) set;
+    ``sizes`` is (doc, sz). The intersection join is keyed by
+    (doc_b, gram) after attaching doc_a's grams to each pair — no stage
+    aggregates the full all-pairs gram join, so the cost is linear in
+    (candidate pairs x grams per doc) instead of quadratic in docs. This is
+    what makes LSH candidate generation actually pay off at 10^12 docs.
+    """
+    ga = grams.select(F.col("doc").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -109,12 +165,7 @@ def ngram_jaccard_pairs(
     """
     grams = _grams_df(docs, id_col, text_col, n)
     sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    joinable = grams
-    if max_doc_freq is not None:
-        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-        joinable = grams.join(
-            freq.filter(F.col("df") <= max_doc_freq).select("gram"), "gram"
-        )
+    joinable = _stop_filtered(grams, max_doc_freq)
     b = joinable.select(F.col("doc").alias("doc_b"), "gram")
     inter = (
         joinable.select(F.col("doc").alias("doc_a"), "gram")
@@ -138,14 +189,31 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    relation: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    relation: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> str:
+    """DuckDB oracle for :func:`ngram_jaccard_pairs`, mirroring its
+    semantics exactly: with ``max_doc_freq`` the stop-gram filter applies
+    to the intersection join only — set sizes stay unfiltered."""
+    joinable = "g"
+    stop_cte = ""
+    if max_doc_freq is not None:
+        stop_cte = (
+            ",\nkeep AS (SELECT gram FROM g GROUP BY gram"
+            f" HAVING COUNT(*) <= {max_doc_freq}),\n"
+            "gj AS (SELECT g.doc, g.gram FROM g JOIN keep USING (gram))"
+        )
+        joinable = "gj"
     return f"""
 WITH g AS ({_grams_sql(relation, id_col, text_col, n)}),
-sz AS (SELECT doc, COUNT(*) AS sz FROM g GROUP BY doc),
+sz AS (SELECT doc, COUNT(*) AS sz FROM g GROUP BY doc){stop_cte},
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc < b.doc
+  FROM {joinable} a JOIN {joinable} b ON a.gram = b.gram AND a.doc < b.doc
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -168,13 +236,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verify (SURVEY/TASK
     minhash+LSH dedup). Candidates share at least one full band of the
-    signature; candidates are then verified against true shingle Jaccard.
+    signature; candidates are then verified against exact shingle Jaccard
+    computed ONLY over the candidate pairs.
+
+    ``max_doc_freq`` stop-filters boilerplate shingles before the
+    signatures AND the verification intersections (set sizes stay
+    unfiltered) — without it, a shingle shared by a large doc cohort
+    dominates the min of every signature row and the cohort collapses
+    into one LSH bucket, reintroducing the quadratic candidate blowup.
+    Production minhash at web scale always pairs with this knob.
     """
     rows = num_hashes // bands
-    grams = _grams_df(docs, id_col, text_col, n)
+    raw_grams = _grams_df(docs, id_col, text_col, n)
+    grams = _stop_filtered(raw_grams, max_doc_freq)
     sig = grams.groupBy("doc").agg(
         *[
             F.min(md5_int(F.col("gram"), salt=f"{s}:")).alias(f"mh_{s}")
@@ -197,11 +275,12 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with true jaccard
-    true_pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
-    return cand.join(true_pairs, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    # verify candidates with exact jaccard restricted to the candidate
+    # pairs — never the full-corpus all-pairs truth (that would reintroduce
+    # the quadratic cost LSH exists to avoid); intersections use the
+    # stop-filtered grams, sizes the raw sets (ngram_jaccard_pairs parity)
+    sizes = raw_grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    return jaccard_for_pairs(cand, grams, sizes, threshold)
 
 
 def minhash_lsh_pairs_sql(
@@ -212,6 +291,7 @@ def minhash_lsh_pairs_sql(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> str:
     rows = num_hashes // bands
     mh_cols = ", ".join(
@@ -226,9 +306,18 @@ def minhash_lsh_pairs_sql(
             f"SELECT doc, {b} AS band, md5({key}) AS bucket FROM sig"
         )
     banded = " UNION ALL ".join(band_selects)
+    stop_cte = ""
+    joinable = "g"
+    if max_doc_freq is not None:
+        stop_cte = (
+            "keep AS (SELECT gram FROM g GROUP BY gram"
+            f" HAVING COUNT(*) <= {max_doc_freq}),\n"
+            "gj AS (SELECT g.doc, g.gram FROM g JOIN keep USING (gram)),\n"
+        )
+        joinable = "gj"
     return f"""
 WITH g AS ({_grams_sql(relation, id_col, text_col, n)}),
-sig AS (SELECT doc, {mh_cols} FROM g GROUP BY doc),
+{stop_cte}sig AS (SELECT doc, {mh_cols} FROM {joinable} GROUP BY doc),
 banded AS ({banded}),
 cand AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
@@ -238,7 +327,7 @@ cand AS (
 sz AS (SELECT doc, COUNT(*) AS sz FROM g GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc < b.doc
+  FROM {joinable} a JOIN {joinable} b ON a.gram = b.gram AND a.doc < b.doc
   GROUP BY 1, 2
 ),
 truth AS (

@@ -152,6 +152,95 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_banded(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_anchors: int = 8,
+) -> DataFrame:
+    """Scale path for :func:`neardup_pairs` — identical result set.
+
+    Anchor-cell pruning (metric pivot pruning on the unit sphere — the
+    exact-filtering family of Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07, applied with angular pivots): every vector
+    is assigned to its nearest of ``n_anchors`` anchor vectors (the lowest
+    ids, deterministic); a cell pair (i, j) can contain a qualifying pair
+    only if  angle(anchor_i, anchor_j) - radius_i - radius_j <= theta_t
+    (spherical triangle inequality), so candidate generation is an
+    equi-join through the surviving cell-pair table instead of a cross
+    join, then candidates verify with the exact cosine. Unlike hyperplane
+    LSH banding this prunes with NO false negatives, so the result is
+    provably identical to the all-pairs join and shares its oracle.
+
+    At 10^12 rows: anchors/radii are tiny driver-side state (like a
+    broadcast dim table); the join replicates each vector once per
+    surviving partner cell; hot cells are the skew knob (raise
+    ``n_anchors`` / salt the per-cell-pair block join).
+    """
+    import math
+
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    anchors = [
+        (int(r["id"]), [float(x) for x in r["vec"]])
+        for r in v.orderBy("id").limit(n_anchors).collect()
+    ]
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+
+    cos_to_anchor = [
+        cosine(F.col("vec"), F.array(*[F.lit(x) for x in avec])).alias(f"c_{i}")
+        for i, (_aid, avec) in enumerate(anchors)
+    ]
+    scored = v.select("id", "vec", *cos_to_anchor)
+    cos_arr = F.array(*[F.col(f"c_{i}") for i in range(len(anchors))])
+    assigned = scored.select(
+        "id",
+        "vec",
+        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int").alias("cell"),
+        F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.array_max(cos_arr)))).alias(
+            "alpha"
+        ),
+    )
+    radii = {
+        int(r["cell"]): float(r["r"])
+        for r in assigned.groupBy("cell").agg(F.max("alpha").alias("r")).collect()
+    }
+
+    def _angle(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.acos(max(-1.0, min(1.0, d / (na * nb))))
+
+    # ordered cell pairs (both directions for i != j so id_a < id_b below
+    # emits each unordered vector pair exactly once); 1e-9 slack only ever
+    # ADMITS extra candidates — prune stays exact
+    allowed = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if _angle(anchors[i][1], anchors[j][1]) - radii[i] - radii[j]
+        <= theta_t + 1e-9
+    ]
+    spark = embeddings.sparkSession
+    pair_df = spark.createDataFrame(allowed, "cell_a INT, cell_b INT")
+
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("v_a"), F.col("cell").alias("cell_a")
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("v_b"), F.col("cell").alias("cell_b")
+    )
+    return (
+        a.join(F.broadcast(pair_df), "cell_a")
+        .join(b, "cell_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )
+
+
 def neardup_pairs_sql(
     relation: str, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.45,

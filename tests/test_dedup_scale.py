@@ -1,0 +1,124 @@
+"""Scale-path guarantees for the dedup / similarity operators.
+
+These tests pin the round-2 fixes:
+  - MinHash LSH verification must be restricted to candidate pairs (no
+    stage may aggregate the full all-pairs gram join);
+  - the anchor-pruned embedding near-dup must be result-identical to the
+    exact all-pairs join (its prune is a no-false-negative triangle-
+    inequality filter, not probabilistic LSH);
+  - the stop-gram knob must actually change the gram join input.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_minhash_verify_has_no_full_gram_selfjoin(spark):
+    """The quadratic shape of the unrestricted verify stage is an exchange
+    hash-partitioned on the gram column alone (the all-pairs gram
+    self-join). The candidate-restricted verify keys its joins by doc /
+    (doc, gram), so a gram-only exchange must not appear — checked with
+    broadcast disabled so every join materializes its shuffle keys."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+        )
+        plan = _formatted_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not re.search(r"hashpartitioning\(gram#\d+, \d+\)", plan), (
+        "minhash verify stage still contains a gram-only exchange "
+        "(full all-pairs gram self-join)"
+    )
+
+
+def test_minhash_restricted_verify_matches_unrestricted_truth(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lsh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    truth = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    lsh_rows = {tuple(r) for r in lsh.collect()}
+    truth_rows = {tuple(r) for r in truth.collect()}
+    # LSH output must be a subset of the exact truth with identical values
+    assert lsh_rows <= truth_rows
+    # and at these parameters it recalls every true pair on this data
+    assert lsh_rows == truth_rows
+
+
+def test_neardup_banded_identical_to_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {tuple(r) for r in similarity.neardup_pairs(emb, threshold=0.45).collect()}
+    for n_anchors in (4, 8, 16):
+        pruned = {
+            tuple(r)
+            for r in similarity.neardup_pairs_banded(
+                emb, threshold=0.45, n_anchors=n_anchors
+            ).collect()
+        }
+        assert pruned == exact, f"n_anchors={n_anchors} changed the result set"
+
+
+def test_neardup_banded_prunes_cell_pairs(spark):
+    """With clustered data the anchor prune must drop at least some cell
+    pairs — otherwise it degenerates to the cross join."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.neardup_pairs_banded(emb, threshold=0.45, n_anchors=8)
+    plan = _formatted_plan(out)
+    # the pruned path goes through the broadcast cell-pair table
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stopgram_filter_changes_join_input(spark):
+    """A gram shared by many docs must be dropped from the intersection
+    join when max_doc_freq is set (set sizes stay unfiltered)."""
+    rows = [
+        (1, "hot hot hot a b c"),
+        (2, "hot hot hot a b d"),
+        (3, "hot hot hot x y z"),
+        (4, "hot hot hot x y w"),
+        (5, "hot hot hot p q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    # every doc shares the shingle "hot hot hot" (doc freq 5), so every
+    # pair has jaccard >= 1/7; with max_doc_freq=2 that gram is dropped
+    # from the join and only genuinely-similar pairs survive
+    unfiltered = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.1)
+    filtered = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.1, max_doc_freq=2
+    )
+    u = {(r["doc_a"], r["doc_b"]) for r in unfiltered.collect()}
+    f = {(r["doc_a"], r["doc_b"]) for r in filtered.collect()}
+    assert len(u) == 10
+    assert f == {(1, 2), (3, 4)}
+
+
+def test_jaccard_for_pairs_restricts_to_given_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c f")],
+        "doc_id LONG, text STRING",
+    )
+    grams = dedup._grams_df(docs, "doc_id", "text", 3)
+    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG")
+    out = dedup.jaccard_for_pairs(pairs, grams, sizes, threshold=0.0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
