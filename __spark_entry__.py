@@ -280,6 +280,78 @@ FROM ({inner.replace("date_trunc('hour'", "date_trunc('day'")})
 """
 
 
+def q_map_pipeline(spark, sf_dir):
+    """End-to-end dynamic-attributes path: parse into a MAP<STRING,STRING>
+    attributes column (the pdata attribute-map model,
+    internal/stanza/converter.go:402-530), promote a route key out of the
+    map (groupbyattrs), then enrich the map with insert-if-absent and
+    override upserts (resourcedetection.go:178-196 merge semantics).
+    Absent keys occur naturally: fmt-A rows carry sev but no stream, B/C
+    the reverse, corrupt rows neither; 'org' is pre-set for page_id%10==0
+    so insert-if-absent exercises both branches."""
+    from opentelemetry_collector_contrib_spark.operators import attributes as attr_ops
+
+    parsed = parse_fns.parse_stage(_pages(spark, sf_dir))
+    attrs = F.map_filter(
+        F.map_from_arrays(
+            F.array(
+                F.lit("fmt"), F.lit("stream"), F.lit("sev"),
+                F.lit("section"), F.lit("org"),
+            ),
+            F.array(
+                F.col("fmt"), F.col("stream"), F.col("severity_in"),
+                F.col("section"),
+                F.when(F.col("page_id") % 10 == 0, F.lit("local")),
+            ),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    df = parsed.select("page_id", "domain", attrs.alias("attributes"))
+    # promote the route key to a real column (and delete it from the map)
+    df = groupbyattrs.promote_from_map(df, "attributes", ["fmt"])
+    # broadcast-enrich: insert-if-absent (pre-set 'org' wins), then an
+    # override upsert stamping the processing marker
+    dim = synth.domain_info(spark).select("domain", F.col("org").alias("__org"))
+    df = (
+        df.join(F.broadcast(dim), "domain", "left")
+        .withColumn(
+            "attributes",
+            attr_ops.map_upsert(
+                F.col("attributes"), "org", F.col("__org"), override=False
+            ),
+        )
+        .drop("__org")
+        .withColumn(
+            "attributes",
+            attr_ops.map_upsert(
+                F.col("attributes"), "checked", F.lit("y"), override=True
+            ),
+        )
+    )
+    return df.select(
+        "page_id",
+        "fmt",
+        F.expr(
+            "array_join(transform(array_sort(map_keys(attributes)),"
+            " k -> concat(k, '=', element_at(attributes, k))), ',')"
+        ).alias("attrs_csv"),
+    )
+
+
+ORACLE_MAP_PIPELINE = f"""{PAGES_CTE}, {synth.domain_info_oracle_cte()}
+SELECT doc_id AS page_id,
+  CASE WHEN corrupt THEN NULL WHEN fmt_id = 0 THEN 'A'
+       WHEN fmt_id = 1 THEN 'B' ELSE 'C' END AS fmt,
+  'checked=y,org=' || CASE WHEN doc_id % 10 = 0 THEN 'local' ELSE d.org END
+    || ',section=s' || CAST(doc_id % 10 AS VARCHAR)
+    || CASE WHEN NOT corrupt AND fmt_id = 0 THEN ',sev=' || sev_in ELSE '' END
+    || CASE WHEN NOT corrupt AND fmt_id = 1 THEN ',stream=stdout'
+            WHEN NOT corrupt AND fmt_id = 2 THEN ',stream=stderr'
+            ELSE '' END AS attrs_csv
+FROM pages pg LEFT JOIN domain_info d ON pg.domain = d.domain
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     # binary-column plumbing: opaque bytes + typed metadata (decode is a
     # pandas-UDF stub in streaming/multimodal; here the byte-level schema)
@@ -963,6 +1035,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statsd_window": q_statsd_window,
         "statsd_percentiles": q_statsd_percentiles,
         "multimodal_meta": q_multimodal_meta,
+        "map_pipeline": q_map_pipeline,
         # events family (processor semantics)
         "router_json": q_router_json,
         "statsd_lines": q_statsd_lines,
@@ -1018,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "statsd_window": ORACLE_STATSD_WINDOW,
         "statsd_percentiles": _oracle_statsd_percentiles(),
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "map_pipeline": ORACLE_MAP_PIPELINE,
         "router_json": ORACLE_ROUTER_JSON,
         "statsd_lines": ORACLE_STATSD_LINES,
         "filter_range": ORACLE_FILTER_RANGE,

@@ -208,3 +208,40 @@ def test_salted_group_agg(spark):
     )
     got = {r["domain"]: (r["total"], r["n"]) for r in out.collect()}
     assert got == {"hot": (100.0, 100), "cold": (2.0, 1)}
+
+
+def test_map_upsert_null_and_absent_semantics(spark):
+    """resourcedetection.go:178-196 merge under nulls: a NULL detected
+    value must never clobber an existing entry (override or not), and
+    inserting NULL into a map missing the key yields a null-valued entry
+    the caller can map_filter away (documented behavior)."""
+    df = spark.createDataFrame(
+        [(1, {"a": "1"}), (2, {})],
+        "id INT, m MAP<STRING,STRING>",
+    )
+    null_v = F.lit(None).cast("string")
+    ins = df.select(
+        "id", attributes.map_upsert(F.col("m"), "a", null_v, False).alias("m")
+    ).collect()
+    got = {r["id"]: dict(r["m"]) for r in ins}
+    # insert-if-absent with NULL: existing value survives
+    assert got[1] == {"a": "1"}
+    # absent key + NULL value -> null-valued entry (filterable)
+    assert got[2] == {"a": None}
+    ovr = df.select(
+        "id", attributes.map_upsert(F.col("m"), "a", F.lit("9"), True).alias("m")
+    ).collect()
+    got = {r["id"]: dict(r["m"]) for r in ovr}
+    assert got[1] == {"a": "9"} and got[2] == {"a": "9"}
+
+
+def test_promote_from_map_absent_key(spark):
+    df = spark.createDataFrame(
+        [(1, {"route": "en", "x": "1"}), (2, {"x": "2"})],
+        "id INT, m MAP<STRING,STRING>",
+    )
+    out = groupbyattrs.promote_from_map(df, "m", ["route"]).collect()
+    got = {r["id"]: (r["route"], dict(r["m"])) for r in out}
+    assert got[1] == ("en", {"x": "1"})
+    # absent key promotes to NULL and the map is untouched
+    assert got[2] == (None, {"x": "2"})

@@ -87,3 +87,37 @@ def test_router_predicates(spark):
     )
     got = [r["t"] for r in df.select(tag.alias("t")).collect()]
     assert got == ["C", "B", "A", "refused"]
+
+
+def test_extraction_picks_first_occurrence_any_layout(spark):
+    """Repeated or out-of-order title/status/pre must extract the FIRST
+    occurrence of each field independently (a combined single-pass regex
+    silently picked later occurrences — round-1 ADVICE)."""
+    html_rows = [
+        # pre before the status meta, plus a second pre after it
+        (1, "<html><pre>2024-01-01 INFO first</pre>"
+            '<title>t1</title><meta http-equiv="status" content="200"/>'
+            "<pre>2024-01-02 WARN second</pre></html>"),
+        # duplicated title and status: first of each wins
+        (2, "<html><title>first-title</title>"
+            '<meta http-equiv="status" content="301"/>'
+            '<title>second-title</title>'
+            '<meta http-equiv="status" content="502"/>'
+            "<pre>2024-01-03 ERROR msg</pre></html>"),
+    ]
+    df = spark.createDataFrame(html_rows, "id INT, h STRING").select(
+        "id", F.encode("h", "UTF-8").alias("html")
+    )
+    out = {
+        r["id"]: r
+        for r in df.withColumn("p", parse.parse_html(F.col("html")))
+        .select("id", "p.*")
+        .collect()
+    }
+    assert out[1]["title"] == "t1"
+    assert out[1]["status"] == 200
+    assert out[1]["message"] == "first"
+    assert out[1]["severity_text"] == "INFO"
+    assert out[2]["title"] == "first-title"
+    assert out[2]["status"] == 301
+    assert out[2]["message"] == "msg"
