@@ -629,6 +629,95 @@ FROM events
 """
 
 
+RFC3164_LINE_EXPR = (
+    "concat('<', CAST(event_id % 192 AS STRING), '>Jan ',"
+    " lpad(CAST(event_id % 28 + 1 AS STRING), 2, ' '), ' 03:14:',"
+    " lpad(CAST(event_id % 60 AS STRING), 2, '0'),"
+    " ' host', CAST(event_id % 7 AS STRING),"
+    " ' app', CAST(event_id % 3 AS STRING),"
+    " '[', CAST(event_id AS STRING), ']: msg for ', event_type)"
+)
+
+
+def q_syslog_rfc3164(spark, sf_dir):
+    # BSD-syslog lines built deterministically from events, parsed back;
+    # the oracle recomputes every field by construction (lossless parse,
+    # receiver/syslogreceiver/syslog.go:69-88 RFC3164 grammar)
+    lines = _events(spark, sf_dir).select(
+        "event_id", F.expr(RFC3164_LINE_EXPR).alias("line")
+    )
+    parsed = syslog.parse_rfc3164(lines)
+    return parsed.select(
+        "event_id", "pri", "facility", "severity", "syslog_ts", "hostname",
+        "appname", "procid", "message", "parse_ok",
+    )
+
+
+ORACLE_SYSLOG_3164 = """
+SELECT event_id,
+  CAST(event_id % 192 AS INTEGER) AS pri,
+  CAST((event_id % 192) // 8 AS INTEGER) AS facility,
+  CAST(event_id % 192 % 8 AS INTEGER) AS severity,
+  'Jan ' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, ' ') || ' 03:14:'
+        || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS syslog_ts,
+  'host' || CAST(event_id % 7 AS VARCHAR) AS hostname,
+  'app' || CAST(event_id % 3 AS VARCHAR) AS appname,
+  CAST(event_id AS INTEGER) AS procid,
+  'msg for ' || event_type AS message,
+  TRUE AS parse_ok
+FROM events
+"""
+
+
+def q_metricstransform_label_values(spark, sf_dir):
+    # aggregate_label_values (datapoint_aggregation.go:103-130): merge
+    # click+view into 'interaction', re-aggregating collided datapoints
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date").cast("string")
+    )
+    out = metricstransform.aggregate_label_values(
+        ev, "event_type", ["click", "view"], "interaction",
+        other_labels=["day"], value_col="value", agg="sum",
+    )
+    return out.select(
+        "day", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+ORACLE_MT_LABEL_VALUES = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+  CASE WHEN event_type IN ('click', 'view') THEN 'interaction'
+       ELSE event_type END AS event_type,
+  ROUND(SUM(value), 4) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_metricstransform_combine(spark, sf_dir):
+    # combine (metrics_transform_processor.go:279-421): union two matched
+    # metrics into one name; the second input lacks the 'unit' column, so
+    # unionByName(allowMissingColumns) null-fills it
+    ev = _events(spark, sf_dir)
+    m_count = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).withColumn("unit", F.lit("1"))
+    m_sum = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 4).alias("value")
+    )
+    out = metricstransform.combine([m_count, m_sum], "combined_metric")
+    return out.select("event_type", "metric_name", "value", "unit")
+
+
+ORACLE_MT_COMBINE = """
+SELECT event_type, 'combined_metric' AS metric_name,
+       CAST(COUNT(*) AS DOUBLE) AS value, '1' AS unit
+FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, 'combined_metric', ROUND(SUM(value), 4), NULL
+FROM events GROUP BY 1
+"""
+
+
 MULTILINE_LINES_SQL = (
     "SELECT source AS file, doc_id AS off, "  # 'offset' is reserved in DuckDB
     "CASE WHEN doc_id % 4 = 0 THEN 'START ' || lang ELSE 'cont ' || lang END AS line "
@@ -1051,6 +1140,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_ring": q_consistent_ring,
         # sources / sinks family
         "syslog_rfc5424": q_syslog_rfc5424,
+        "syslog_rfc3164": q_syslog_rfc3164,
+        "metricstransform_label_values": q_metricstransform_label_values,
+        "metricstransform_combine": q_metricstransform_combine,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "loki_streams": q_loki_streams,
@@ -1105,6 +1197,9 @@ def oracle_sql() -> dict[str, str]:
         "loadbalance_assign": ORACLE_LOADBALANCE,
         "consistent_ring": ORACLE_RING,
         "syslog_rfc5424": ORACLE_SYSLOG,
+        "syslog_rfc3164": ORACLE_SYSLOG_3164,
+        "metricstransform_label_values": ORACLE_MT_LABEL_VALUES,
+        "metricstransform_combine": ORACLE_MT_COMBINE,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "loki_streams": ORACLE_LOKI,

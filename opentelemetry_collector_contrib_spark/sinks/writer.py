@@ -44,8 +44,15 @@ def write_fanout(
     """
     parts = [route_col] + ([day_col] if day_col else [])
     if files_per_partition > 1:
-        salt = F.pmod(F.crc32(F.col(route_col).cast("binary")) + F.monotonically_increasing_id(),
-                      F.lit(files_per_partition))
+        # salt MUST be a deterministic function of row content:
+        # monotonically_increasing_id() changes under task retry /
+        # recomputation, which would redistribute rows across files and
+        # break the checkpoint/resume byte-identity guarantee
+        # (plans/checkpoint.py)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
         clustered = df.repartition(*[F.col(c) for c in parts], salt)
     else:
         clustered = df.repartition(*[F.col(c) for c in parts])

@@ -65,3 +65,53 @@ def test_rerun_partition_idempotent(spark, sf_dir, tmp_path):
     assert len(before) < len(after)
     ref = _snapshot(spark, str(tmp_path / "ref") + "/sinks")
     assert after == ref
+
+
+def test_fanout_salt_deterministic_across_reruns(spark, sf_dir, tmp_path):
+    """files_per_partition > 1 must salt by row content (xxhash64), not
+    monotonically_increasing_id: two independent runs over the same input
+    produce byte-identical per-partition file sets (what makes task-retry
+    and resume reproducible)."""
+    import hashlib
+    import os
+
+    from opentelemetry_collector_contrib_spark.sinks.writer import write_fanout
+
+    pages = synth.pages_from_documents(spark, sf_dir)
+    tagged = runner.build_tagged(spark, pages).select(
+        "route", "day", "url", "message"
+    )
+
+    # at sf0.001 AQE's partition coalescing merges the whole shuffle into
+    # one task (partitions are far below the advisory size), hiding the
+    # salt split the test observes; at production scale partitions exceed
+    # the advisory size and stay split, so disable coalescing here only
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    def run(d):
+        write_fanout(tagged, d, files_per_partition=4)
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(root, d)
+                h = hashlib.sha256(
+                    open(os.path.join(root, f), "rb").read()
+                ).hexdigest()
+                out.setdefault(rel, set()).add(h)
+        return out
+
+    try:
+        a = run(str(tmp_path / "a"))
+        b = run(str(tmp_path / "b"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert a.keys() == b.keys() and len(a) > 0
+    for part in a:
+        assert a[part] == b[part], f"partition {part} files differ across runs"
+        # the 4 salt values hash into <= 4 of the shuffle partitions (hash
+        # collisions can merge some), but never more
+        assert 1 <= len(a[part]) <= 4
+    # salting actually splits hot partitions into multiple files
+    assert max(len(v) for v in a.values()) > 1

@@ -38,3 +38,22 @@ def test_frame_sample(spark, sf_dir):
 def test_decode_pixels_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_pixels(b"MM01|image|16|16|1|xx")
+
+
+def test_decode_media_meta_malformed_payloads(spark):
+    """Invalid-UTF8 payloads route through the pandas fallback batch-wise;
+    short headers yield null metadata but keep payload_bytes."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, b"MM01|image|32|16|1|bodybytes"),
+        (2, b"\xff\xfe\x00broken"),          # not valid UTF-8
+        (3, b"MM01|noheader"),                # too few fields
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {r["media_id"]: r for r in multimodal.decode_media_meta(df).collect()}
+    assert out[1]["kind"] == "image" and out[1]["width"] == 32
+    assert out[1]["body_head"] == "bodybyte"
+    assert out[2]["kind"] is None and out[2]["payload_bytes"] == len(rows[1][1])
+    assert out[3]["kind"] is None and out[3]["width"] is None
+    assert out[3]["payload_bytes"] == len(rows[2][1])
