@@ -21,16 +21,51 @@ from pyspark.sql import functions as F
 
 
 def read_lines(spark: SparkSession, glob: str) -> DataFrame:
-    """filelog input: one row per line with (file, offset) lineage —
-    the fingerprint/offset identity the reference checkpoints
-    (internal/stanza/storage.go:27-72)."""
-    return (
-        spark.read.text(glob)
+    """filelog input: one row per line with (file, offset) lineage — the
+    fingerprint/offset identity the reference checkpoints
+    (internal/stanza/storage.go:27-72).
+
+    ``offset`` is the line's REAL byte offset within its file (running sum
+    of prior line lengths + newlines over a per-file window), resumable
+    exactly like stanza's offset store. Each file is read whole
+    (``wholetext``) so line order is the file's byte order by construction
+    — a plain ``spark.read.text`` over a multi-split file pairs
+    ``monotonically_increasing_id`` with Spark's size-ordered split
+    scheduling and is NOT order-safe. Parallelism is per-file, the same
+    model as the reference's one-goroutine-per-tailed-file; a single
+    100 GB file would need a custom splitter, but log tailing is
+    many-files-small-files by nature."""
+    lines = (
+        spark.read.text(glob, wholetext=True)
         .select(
             F.input_file_name().alias("file"),
-            F.monotonically_increasing_id().alias("offset"),
-            F.col("value").alias("line"),
+            F.split(F.col("value"), "\n").alias("l"),
         )
+        .select(
+            "file",
+            # drop the empty element a trailing newline produces, matching
+            # line-mode read semantics
+            F.expr(
+                "CASE WHEN try_element_at(l, size(l)) = '' "
+                "THEN slice(l, 1, size(l) - 1) ELSE l END"
+            ).alias("l"),
+        )
+        .select(
+            "file",
+            F.posexplode(F.col("l")).alias("line_no", "line"),
+        )
+    )
+    w = (
+        Window.partitionBy("file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return lines.select(
+        "file",
+        F.coalesce(
+            F.sum(F.octet_length("line") + F.lit(1)).over(w), F.lit(0)
+        ).alias("offset"),
+        "line",
     )
 
 

@@ -47,13 +47,19 @@ def run_streaming_fanout(
     """Stream pages -> tagged -> per-sink parquet fan-out via foreachBatch.
 
     foreachBatch gets each micro-batch as a batch DataFrame, so the exact
-    batch writer (dynamic-partition fan-out) is reused; epoch_id makes the
-    write idempotent under retries (the exporterhelper queue/retry analogue).
+    batch writer (dynamic-partition fan-out) is reused. Exactly-once: each
+    epoch writes (dynamic-partition OVERWRITE) into its own
+    ``sinks/epoch={id}`` directory — a retried micro-batch replays the same
+    epoch_id with the same data and replaces its own partitions instead of
+    appending duplicates (the exporterhelper queue/retry analogue).
+    Readers see ``epoch`` as one more partition column under ``sinks/``.
     """
     tagged = runner.build_tagged(spark, pages_stream(spark, in_path))
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        writer.write_fanout(batch_df, f"{out_dir}/sinks", mode="append")
+        writer.write_fanout(
+            batch_df, f"{out_dir}/sinks/epoch={epoch_id}", mode="overwrite"
+        )
 
     q = (
         tagged.writeStream.foreachBatch(write_batch)

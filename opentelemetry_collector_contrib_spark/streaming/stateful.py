@@ -11,8 +11,10 @@ session row when the processing-time timeout (= wait_duration) fires with
 no new data for the key. Spark's state store gives the bounded-state +
 spill behavior the reference hand-rolls with its ring buffer.
 
-On a drained availableNow stream every key's state times out at the final
-batch, so batch-mode tests get deterministic full output.
+NOTE: ProcessingTimeTimeout only fires while the query keeps running —
+use a ``processingTime`` trigger (as tests/test_streaming.py does). With
+``availableNow`` the query stops after draining the input and pending
+timeouts never fire, so buffered sessions would stay unreleased.
 """
 
 from __future__ import annotations
@@ -28,7 +30,10 @@ STATE_SCHEMA = "span_count long, first_id long, last_id long"
 
 
 def _session_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    wait_duration_ms: int = 1000,
 ) -> Iterable[pd.DataFrame]:
     if state.hasTimedOut:
         (count, first, last) = state.get
@@ -45,23 +50,35 @@ def _session_fn(
         first = lo if first is None else min(first, lo)
         last = hi if last is None else max(last, hi)
     state.update((count, first, last))
-    # wait_duration from first/most-recent arrival (config.go:35-37)
-    state.setTimeoutDuration(1000)
+    # wait_duration from the most recent arrival (config.go:35-37)
+    state.setTimeoutDuration(wait_duration_ms)
     yield pd.DataFrame(
         {"trace_key": [], "span_count": [], "first_id": [], "last_id": []}
     )
 
 
-def group_by_trace_stream(events: DataFrame, trace_col: str, id_col: str) -> DataFrame:
+def group_by_trace_stream(
+    events: DataFrame,
+    trace_col: str,
+    id_col: str,
+    wait_duration_ms: int = 1000,
+) -> DataFrame:
     """events stream -> per-trace session rows released after the wait window.
 
     ``events`` must be a streaming DataFrame; output one row per trace_key.
+    ``wait_duration_ms`` is the groupbytrace ``wait_duration``
+    (config.go:35-37): the session flushes after that long with no new
+    spans for the key. Requires a processingTime trigger (see module note).
     """
     keyed = events.selectExpr(
         f"CAST({trace_col} AS STRING) AS trace_key", f"CAST({id_col} AS LONG) AS id"
     )
+
+    def fn(key, pdfs, state):
+        yield from _session_fn(key, pdfs, state, wait_duration_ms)
+
     return keyed.groupBy("trace_key").applyInPandasWithState(
-        _session_fn,
+        fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
