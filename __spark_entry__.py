@@ -484,6 +484,113 @@ FROM events GROUP BY user_id
 """
 
 
+def q_severity_number_ladder(spark, sf_dir):
+    # numeric stanza severity -> otel (text, number), exactly
+    # convertSeverity incl. custom in-between levels (converter.go:532-582);
+    # event_id % 101 sweeps every branch: all ten anchors, every custom
+    # range, and 0 -> Undefined
+    ev = _events(spark, sf_dir).withColumn(
+        "sev_in", (F.col("event_id") % 101).cast("int")
+    )
+    txt, num = parse_fns.convert_severity_number(F.col("sev_in"))
+    return (
+        ev.select(txt.alias("severity_text"), num.alias("severity_number"))
+        .groupBy("severity_text", "severity_number")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+def _oracle_severity_number() -> str:
+    t_case, n_case = parse_fns.convert_severity_number_sql("event_id % 101")
+    return f"""
+SELECT {t_case} AS severity_text, CAST({n_case} AS INTEGER) AS severity_number,
+       COUNT(*) AS n_records
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_es_docs(spark, sf_dir):
+    # elasticsearch exporter document encoding (model.go:40-62): one JSON
+    # doc per record, @timestamp first, Attributes/Resource sub-objects,
+    # null fields omitted
+    from opentelemetry_collector_contrib_spark.sinks import elasticsearch as es
+
+    ev = _events(spark, sf_dir)
+    txt, num = parse_fns.convert_severity_number(
+        (F.col("event_id") % 101).cast("int")
+    )
+    ev = ev.select(
+        "event_id", "ts", "event_type", "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.concat(F.lit("msg for "), F.col("event_type")).alias("body"),
+        txt.alias("sev_text"), num.alias("sev_num"),
+    )
+    return es.to_es_docs(
+        ev, ts_col="ts", name_col="event_type", body_col="body",
+        attr_cols=["user_id", "k"], severity_text_col="sev_text",
+        severity_number_col="sev_num", id_cols=["event_id"],
+    )
+
+
+def _oracle_es_docs() -> str:
+    t_case, n_case = parse_fns.convert_severity_number_sql("event_id % 101")
+    return f"""
+SELECT event_id,
+  '{{"@timestamp":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S')
+  || '","SeverityText":"' || {t_case}
+  || '","SeverityNumber":' || CAST({n_case} AS VARCHAR)
+  || ',"Name":"' || event_type
+  || '","Body":"msg for ' || event_type
+  || '","Attributes":{{"user_id":' || CAST(user_id AS VARCHAR)
+  || ',"k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+  || '}}}}' AS doc
+FROM events
+"""
+
+
+def q_groupbytrace_capped(spark, sf_dir):
+    # bounded trace state: only the 100 most recently started traces
+    # survive (ring-buffer / deleteChan eviction analogue)
+    ev = _events(spark, sf_dir)
+    kept = groupbytrace.evict_to_capacity(ev, "user_id", "event_id", 100)
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("span_count"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
+ORACLE_GBT_CAPPED = """
+WITH firsts AS (SELECT user_id, MIN(event_id) AS f FROM events GROUP BY 1),
+keep AS (SELECT user_id FROM firsts ORDER BY f DESC, user_id DESC LIMIT 100)
+SELECT e.user_id, COUNT(*) AS span_count, MIN(event_id) AS first_id
+FROM events e JOIN keep USING (user_id) GROUP BY 1
+"""
+
+
+def q_groupbytrace_bounded(spark, sf_dir):
+    # bounded per-trace span buffer: array capped at 5, overflow counted
+    ev = _events(spark, sf_dir)
+    g = groupbytrace.group_by_trace(
+        ev, "user_id", ["event_type"], "event_id", max_spans=5
+    )
+    return g.select(
+        "user_id", "span_count", "n_dropped",
+        F.expr("concat_ws(',', transform(spans, s -> s.event_type))").alias(
+            "events_csv"
+        ),
+    )
+
+
+ORACLE_GBT_BOUNDED = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS span_count,
+  CAST(GREATEST(COUNT(*) - 5, 0) AS BIGINT) AS n_dropped,
+  array_to_string(list_transform(
+    list_sort(list({'o': event_id, 't': event_type}))[1:5], x -> x.t), ',')
+    AS events_csv
+FROM events GROUP BY 1
+"""
+
+
 def q_rate_limit(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return tailsampling.rate_limit(ev, ["user_id"], "event_id", 5).select(
@@ -1132,6 +1239,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_regexp": q_filter_regexp,
         "tailsample": q_tailsample,
         "groupbytrace_sessions": q_groupbytrace_sessions,
+        "groupbytrace_capped": q_groupbytrace_capped,
+        "groupbytrace_bounded": q_groupbytrace_bounded,
+        "severity_number_ladder": q_severity_number_ladder,
+        "es_docs": q_es_docs,
         "rate_limit": q_rate_limit,
         "groupbyattrs_metrics": q_groupbyattrs_metrics,
         "metricstransform_agg": q_metricstransform_agg,
@@ -1190,6 +1301,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_regexp": ORACLE_FILTER_REGEXP,
         "tailsample": ORACLE_TAILSAMPLE,
         "groupbytrace_sessions": ORACLE_GROUPBYTRACE,
+        "groupbytrace_capped": ORACLE_GBT_CAPPED,
+        "groupbytrace_bounded": ORACLE_GBT_BOUNDED,
+        "severity_number_ladder": _oracle_severity_number(),
+        "es_docs": _oracle_es_docs(),
         "rate_limit": ORACLE_RATE_LIMIT,
         "groupbyattrs_metrics": ORACLE_GROUPBYATTRS,
         "metricstransform_agg": ORACLE_MT_AGG,

@@ -70,6 +70,65 @@ def severity_columns(sev_col: Column) -> tuple[Column, Column]:
     )
 
 
+# Numeric severity ladder — exactly convertSeverity
+# (internal/stanza/converter.go:532-582). Input is a stanza entry.Severity
+# (0-100 scale with decade anchors: Default 0, Trace 10, Debug 20, Info 30,
+# Notice 40, Warning 50, Error 60, Critical 70, Alert 80, Emergency 90,
+# Catastrophe 100 — public stanza constants). Equality cases first, then
+# the custom-level range cases, in the reference's switch order. Note the
+# reference quirks preserved verbatim: Emergency maps to TEXT "Error" with
+# NUMBER SeverityNumberFATAL(21), and s>Critical shares ERROR3(19) with
+# the Alert equality case.
+_SEV_NUM_LADDER: list[tuple[str, int, str, int]] = [
+    ("=", 100, "Fatal", 24),   # Catastrophe -> FATAL4
+    ("=", 90, "Error", 21),    # Emergency   -> FATAL  (text "Error"!)
+    ("=", 80, "Error", 19),    # Alert       -> ERROR3
+    ("=", 70, "Error", 18),    # Critical    -> ERROR2
+    ("=", 60, "Error", 17),    # Error       -> ERROR
+    ("=", 50, "Info", 12),     # Warning     -> INFO4
+    ("=", 40, "Info", 11),     # Notice      -> INFO3
+    ("=", 30, "Info", 9),      # Info        -> INFO
+    ("=", 20, "Debug", 5),     # Debug       -> DEBUG
+    ("=", 10, "Trace", 2),     # Trace       -> TRACE2
+    (">", 90, "Fatal", 22),    # > Emergency -> FATAL2
+    (">", 80, "Error", 20),    # > Alert     -> ERROR4
+    (">", 70, "Error", 19),    # > Critical  -> ERROR3
+    (">", 60, "Error", 18),    # > Error     -> ERROR2
+    (">", 50, "Info", 12),     # > Warning   -> INFO4
+    (">", 40, "Info", 11),     # > Notice    -> INFO3
+    (">", 30, "Info", 10),     # > Info      -> INFO2
+    (">", 20, "Debug", 6),     # > Debug     -> DEBUG2
+    (">", 10, "Trace", 3),     # > Trace     -> TRACE3
+    (">", 0, "Trace", 1),      # > Default   -> TRACE
+]
+
+
+def convert_severity_number(sev: Column) -> tuple[Column, Column]:
+    """stanza numeric severity -> (otel severity_text, SeverityNumber)."""
+    txt: Column | None = None
+    num: Column | None = None
+    for op, anchor, t, n in _SEV_NUM_LADDER:
+        cond = (sev == anchor) if op == "=" else (sev > anchor)
+        txt = F.when(cond, t) if txt is None else txt.when(cond, t)
+        num = F.when(cond, n) if num is None else num.when(cond, n)
+    assert txt is not None and num is not None
+    return txt.otherwise(F.lit("Undefined")), num.otherwise(F.lit(0))
+
+
+def convert_severity_number_sql(expr: str) -> tuple[str, str]:
+    """The identical ladder as two ANSI-SQL CASE chains (oracle side)."""
+    t_cases = " ".join(
+        f"WHEN {expr} {op} {a} THEN '{t}'" for op, a, t, _n in _SEV_NUM_LADDER
+    )
+    n_cases = " ".join(
+        f"WHEN {expr} {op} {a} THEN {n}" for op, a, _t, n in _SEV_NUM_LADDER
+    )
+    return (
+        f"CASE {t_cases} ELSE 'Undefined' END",
+        f"CASE {n_cases} ELSE 0 END",
+    )
+
+
 URL_META_PATTERN = r"^https?://([^/]+)/([^/]+)/([^/]+)/page-(\d+)$"
 
 

@@ -36,8 +36,24 @@ def sampled_ids(spans: DataFrame, trace_col: str, policies: list[Column]) -> Dat
     )
 
 
-def tail_sample(spans: DataFrame, trace_col: str, policies: list[Column]) -> DataFrame:
-    """Pass 2: release whole sampled traces (processor.go:162-173)."""
+def tail_sample(
+    spans: DataFrame,
+    trace_col: str,
+    policies: list[Column],
+    num_traces: int | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Pass 2: release whole sampled traces (processor.go:162-173).
+
+    ``num_traces`` (with ``order_col``) applies the reference's bounded
+    trace-state capacity BEFORE the decision: only the num_traces most
+    recently started traces are considered, older ones are evicted whole
+    (deleteChan eviction, processor.go:292-299)."""
+    if num_traces is not None:
+        from .groupbytrace import evict_to_capacity
+
+        assert order_col is not None, "num_traces needs order_col"
+        spans = evict_to_capacity(spans, trace_col, order_col, num_traces)
     ids = sampled_ids(spans, trace_col, policies)
     return spans.join(ids, on=trace_col, how="left_semi")
 

@@ -22,9 +22,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-TRIALS = 2  # best-of; levels are INTERLEAVED (lo,hi,lo,hi) because this
-# VM's effective CPU/disk speed drifts up to 4x over tens of minutes —
-# adjacent-in-time samples are the only fair comparison
+TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
+# levels are INTERLEAVED (lo,hi,lo,hi,...) because this VM's effective
+# CPU/disk speed drifts up to ~10x over tens of minutes — adjacent-in-time
+# samples are the only fair comparison. Efficiency is therefore computed
+# PER ADJACENT PAIR (lo_i, hi_i) and summarized as median-of-pairs (the
+# defensible central estimate) alongside best-of-level (steady state).
 
 
 def run_once(cores: int, n_pages: int) -> dict | None:
@@ -57,28 +60,38 @@ def run_once(cores: int, n_pages: int) -> dict | None:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    import statistics
+
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
     lo, hi = 8, 32
-    results: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(TRIALS):
-        for cores in (lo, hi):
-            r = run_once(cores, n_pages)
-            if r:
-                results[cores].append(r)
-                print(f"# cores={cores}: {r['value']} docs/s", file=sys.stderr)
-    if not results[lo] or not results[hi]:
-        sys.exit("a level has no successful trials")
-    r_lo = max(results[lo], key=lambda r: r["value"])
-    r_hi = max(results[hi], key=lambda r: r["value"])
-    eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
+    pairs: list[tuple[float, float]] = []
+    for t in range(TRIALS):
+        r_lo = run_once(lo, n_pages)
+        r_hi = run_once(hi, n_pages)
+        if r_lo and r_hi:
+            pairs.append((r_lo["value"], r_hi["value"]))
+            eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
+            print(
+                f"# pair {t}: lo={r_lo['value']} hi={r_hi['value']} "
+                f"eff={eff:.3f}",
+                file=sys.stderr,
+            )
+    if not pairs:
+        sys.exit("no successful trial pairs")
+    per_pair = [(h / l) / (hi / lo) for l, h in pairs]
+    best_lo = max(l for l, _ in pairs)
+    best_hi = max(h for _, h in pairs)
+    best_eff = (best_hi / best_lo) / (hi / lo)
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "n_pages": n_pages,
-        "trials_per_level": TRIALS,
-        f"docs_per_sec_local[{lo}]": r_lo["value"],
-        f"docs_per_sec_local[{hi}]": r_hi["value"],
-        "efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "trial_pairs": len(pairs),
+        f"docs_per_sec_local[{lo}]": best_lo,
+        f"docs_per_sec_local[{hi}]": best_hi,
+        "per_pair_efficiency": [round(e, 3) for e in per_pair],
+        "median_efficiency": round(statistics.median(per_pair), 3),
+        "best_of_level_efficiency": round(best_eff, 3),
+        "pass_median": statistics.median(per_pair) >= 0.8,
     }
     print(json.dumps(result))
 
