@@ -69,6 +69,61 @@ def read_lines(spark: SparkSession, glob: str) -> DataFrame:
     )
 
 
+def read_lines_encoded(
+    spark: SparkSession,
+    glob: str,
+    encoding: str = "UTF-8",
+    exclude_pattern: str | None = None,
+) -> DataFrame:
+    """filelog input with the receiver's config surface
+    (receiver/filelogreceiver/README.md:13-29): ``include`` is the glob,
+    ``exclude`` a path regex, ``encoding`` the file charset.
+
+    Reads each file as one binary blob (``binaryFile`` source), decodes
+    JVM-side with the configured charset, then splits to (file, offset,
+    line) like :func:`read_lines`. Non-UTF-8 logs (latin-1, UTF-16 ...)
+    work because the decode happens AFTER the raw bytes are read — the
+    plain text source assumes UTF-8. Offsets here are line ordinals, not
+    byte offsets (byte positions in the source encoding are not
+    recoverable after decode; use read_lines for UTF-8 byte lineage).
+    """
+    files = spark.read.format("binaryFile").load(glob)
+    if exclude_pattern:
+        files = files.filter(~F.col("path").rlike(exclude_pattern))
+    return (
+        files.select(
+            F.col("path").alias("file"),
+            F.split(F.decode(F.col("content"), encoding), "\n").alias("l"),
+        )
+        .select(
+            "file",
+            F.expr(
+                "CASE WHEN try_element_at(l, size(l)) = '' "
+                "THEN slice(l, 1, size(l) - 1) ELSE l END"
+            ).alias("l"),
+        )
+        .select("file", F.posexplode(F.col("l")).alias("offset", "line"))
+    )
+
+
+def file_fingerprints(spark: SparkSession, glob: str, size: int = 1000) -> DataFrame:
+    """stanza file fingerprinting (operator/builtin/input/file/fingerprint):
+    identity = hash of the first ``size`` bytes, stable across renames and
+    rotations — what the offset store keys on
+    (internal/stanza/storage.go:27-72). One row per file:
+    (file, fingerprint, file_bytes, mod_time)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(glob)
+        .select(
+            F.col("path").alias("file"),
+            F.md5(F.expr(f"substring(content, 1, {size})")).alias("fingerprint"),
+            F.col("length").alias("file_bytes"),
+            F.col("modificationTime").alias("mod_time"),
+        )
+    )
+
+
 def assemble_multiline(
     df: DataFrame,
     start_pattern: str,

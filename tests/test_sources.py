@@ -124,3 +124,32 @@ def test_read_lines_real_byte_offsets(spark, tmp_path):
     ).collect()
     entries = sorted(r["entry"] for r in blocks)
     assert entries == ["START four", "START one|cont two|cont three"]
+
+
+def test_read_lines_encoded_and_exclude(spark, tmp_path):
+    """Non-UTF8 charset decode + exclude-path regex
+    (filelogreceiver README include/exclude/encoding config)."""
+    (tmp_path / "app.log").write_bytes("café línea uno\nzwei\n".encode("latin-1"))
+    (tmp_path / "skip.log").write_bytes(b"excluded\n")
+    out = src_text.read_lines_encoded(
+        spark, str(tmp_path / "*.log"), encoding="ISO-8859-1",
+        exclude_pattern=r"skip\.log$",
+    ).collect()
+    lines = sorted((r["offset"], r["line"]) for r in out)
+    assert lines == [(0, "café línea uno"), (1, "zwei")]
+
+
+def test_file_fingerprints_stable_across_rename(spark, tmp_path):
+    body = b"x" * 2000
+    (tmp_path / "a.log").write_bytes(body)
+    fp1 = src_text.file_fingerprints(spark, str(tmp_path / "a.log")).collect()[0]
+    (tmp_path / "a.log").rename(tmp_path / "rotated.log")
+    fp2 = src_text.file_fingerprints(spark, str(tmp_path / "rotated.log")).collect()[0]
+    assert fp1["fingerprint"] == fp2["fingerprint"]
+    assert fp1["file_bytes"] == 2000
+    # fingerprint keys on the first `size` bytes only: appends don't change it
+    with open(tmp_path / "rotated.log", "ab") as f:
+        f.write(b"more")
+    fp3 = src_text.file_fingerprints(spark, str(tmp_path / "rotated.log")).collect()[0]
+    assert fp3["fingerprint"] == fp1["fingerprint"]
+    assert fp3["file_bytes"] == 2004
