@@ -160,6 +160,34 @@ FROM pages pg LEFT JOIN domain_info d ON pg.domain = d.domain
 """
 
 
+def q_enrich_ttl(spark, sf_dir):
+    # ttlmap-bounded enrichment: dim entries registered > 1300 days before
+    # the fact's warc_ts have expired -> lookup miss (org stays NULL)
+    from opentelemetry_collector_contrib_spark.operators import attributes as attr_ops
+
+    pages = _pages(spark, sf_dir)
+    dim = synth.domain_info(spark)
+    facts = pages.select(
+        "url",
+        F.regexp_extract("url", parse_fns.URL_META_PATTERN, 1).alias("domain"),
+        "warc_ts",
+    )
+    out = attr_ops.enrich_lookup_ttl(
+        facts, dim, on="domain", attrs=["org"], fact_ts_col="warc_ts",
+        dim_ts_col="registered_ts", ttl="'1300' DAY",
+    )
+    return out.select("url", "domain", "org")
+
+
+ORACLE_ENRICH_TTL = f"""{PAGES_CTE}, {synth.domain_info_oracle_cte()}
+SELECT url, pg.domain AS domain, d.org AS org
+FROM pages pg LEFT JOIN domain_info d
+  ON pg.domain = d.domain
+ AND pg.warc_ts >= d.registered_ts
+ AND pg.warc_ts < d.registered_ts + INTERVAL '1300 days'
+"""
+
+
 def q_spanmetrics_histogram(spark, sf_dir):
     tagged = _tagged(spark, sf_dir).filter("parse_ok")
     sm = spanmetrics.span_metrics(
@@ -1226,6 +1254,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "routed_rows": q_routed_rows,
         "enrich_lookup": q_enrich_lookup,
+        "enrich_ttl": q_enrich_ttl,
         "spanmetrics_histogram": q_spanmetrics_histogram,
         "spanmetrics_salted": q_spanmetrics_salted,
         "statsd_window": q_statsd_window,
@@ -1289,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": ORACLE_ROUTE_COUNTS,
         "routed_rows": ORACLE_ROUTED_ROWS,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
+        "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),
         "spanmetrics_salted": ORACLE_SPANMETRICS_SALTED,
         "statsd_window": ORACLE_STATSD_WINDOW,

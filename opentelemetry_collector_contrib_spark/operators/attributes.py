@@ -51,6 +51,41 @@ def map_upsert(attr_map: Column, key: str, value: Column, override: bool) -> Col
     )
 
 
+def enrich_lookup_ttl(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    attrs: list[str],
+    fact_ts_col: str,
+    dim_ts_col: str,
+    ttl: str,
+    prefix: str = "",
+) -> DataFrame:
+    """ttlmap-bounded enrichment (k8sprocessor kube/client.go ttlmap /
+    internal/k8sconfig cache expiry): a dimension entry inserted at
+    ``dim_ts_col`` is valid for ``ttl`` (an INTERVAL literal body, e.g.
+    ``'1300' DAY``); a fact joins it only while
+    dim_ts <= fact_ts < dim_ts + ttl — stale cache entries behave as
+    lookup misses (attributes stay NULL), exactly like an expired ttlmap
+    slot. Broadcast hash join with the validity window as a residual
+    condition; the fact side never shuffles."""
+    sel = [F.col(on).alias(f"__dim_{on}"), F.col(dim_ts_col).alias("__dim_ts")] + [
+        F.col(a).alias(f"__dim_{a}") for a in attrs
+    ]
+    valid = (F.col(fact_ts_col) >= F.col("__dim_ts")) & (
+        F.col(fact_ts_col) < F.expr(f"__dim_ts + INTERVAL {ttl}")
+    )
+    joined = facts.join(
+        F.broadcast(dim.select(*sel)),
+        (facts[on] == F.col(f"__dim_{on}")) & valid,
+        "left",
+    ).drop(f"__dim_{on}", "__dim_ts")
+    out = joined
+    for a in attrs:
+        out = out.withColumn(f"{prefix}{a}", F.col(f"__dim_{a}"))
+    return out.drop(*[f"__dim_{a}" for a in attrs])
+
+
 def enrich_lookup(
     facts: DataFrame,
     dim: DataFrame,

@@ -64,9 +64,22 @@ def brute_force_topk(
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
     )
+    # two-level top-k: with few queries, a single window on q_id funnels
+    # all Q x N scored rows through Q reducers (massive skew at corpus
+    # scale). Level 1 ranks within (q_id, hash-bucket of neighbor) — the
+    # shuffle spreads over Q x 64 reducers and each keeps <= k rows — then
+    # the global window ranks only the Q x 64 x k survivors.
+    local_w = Window.partitionBy(
+        "q_id", F.pmod(F.xxhash64("n_id"), F.lit(64))
+    ).orderBy(F.col("cos").desc(), F.col("n_id"))
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("cos", 5).alias("cos"))
     )
