@@ -494,6 +494,32 @@ WHERE user_id IN (
 """
 
 
+def q_tailsample_metrics(spark, sf_dir):
+    # sampling-decision observability (processor.go:176-188): sampled /
+    # not-sampled trace + span counts for the same policy set as tailsample
+    ev = _events(spark, sf_dir)
+    return tailsampling.decision_metrics(
+        ev, "user_id",
+        policies=[F.col("event_type") == "error", F.col("value") > 90.0],
+    )
+
+
+ORACLE_TAILSAMPLE_METRICS = """
+WITH per_trace AS (
+  SELECT user_id,
+    CASE WHEN bool_or(event_type = 'error') OR MAX(value) > 90.0
+         THEN 1 ELSE 0 END AS s,
+    COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(s) AS BIGINT) AS num_traces_sampled,
+  CAST(SUM(1 - s) AS BIGINT) AS num_traces_not_sampled,
+  CAST(SUM(CASE WHEN s = 1 THEN n ELSE 0 END) AS BIGINT) AS num_spans_sampled,
+  CAST(SUM(CASE WHEN s = 0 THEN n ELSE 0 END) AS BIGINT) AS num_spans_dropped
+FROM per_trace
+"""
+
+
 def q_groupbytrace_sessions(spark, sf_dir):
     ev = _events(spark, sf_dir)
     g = groupbytrace.group_by_trace(ev, "user_id", ["event_type"], "event_id")
@@ -1267,6 +1293,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": q_filter_range,
         "filter_regexp": q_filter_regexp,
         "tailsample": q_tailsample,
+        "tailsample_metrics": q_tailsample_metrics,
         "groupbytrace_sessions": q_groupbytrace_sessions,
         "groupbytrace_capped": q_groupbytrace_capped,
         "groupbytrace_bounded": q_groupbytrace_bounded,
@@ -1330,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_range": ORACLE_FILTER_RANGE,
         "filter_regexp": ORACLE_FILTER_REGEXP,
         "tailsample": ORACLE_TAILSAMPLE,
+        "tailsample_metrics": ORACLE_TAILSAMPLE_METRICS,
         "groupbytrace_sessions": ORACLE_GROUPBYTRACE,
         "groupbytrace_capped": ORACLE_GBT_CAPPED,
         "groupbytrace_bounded": ORACLE_GBT_BOUNDED,

@@ -58,6 +58,33 @@ def tail_sample(
     return spans.join(ids, on=trace_col, how="left_semi")
 
 
+def decision_metrics(
+    spans: DataFrame, trace_col: str, policies: list[Column]
+) -> DataFrame:
+    """Sampling-decision observability (processor.go:176-188 +
+    obsreport): one row with sampled / not-sampled trace counts and the
+    span counts they carry. One partial-agg shuffle keyed by trace, then a
+    single-row global aggregate."""
+    cond = F.lit(False)
+    for p in policies:
+        cond = cond | p
+    per_trace = spans.groupBy(trace_col).agg(
+        F.max(cond.cast("int")).alias("__sampled"),
+        F.count(F.lit(1)).alias("__n_spans"),
+    )
+    s = F.col("__sampled") == 1
+    return per_trace.agg(
+        F.sum(F.when(s, 1).otherwise(0)).cast("long").alias("num_traces_sampled"),
+        F.sum(F.when(~s, 1).otherwise(0)).cast("long").alias("num_traces_not_sampled"),
+        F.sum(F.when(s, F.col("__n_spans")).otherwise(0)).cast("long").alias(
+            "num_spans_sampled"
+        ),
+        F.sum(F.when(~s, F.col("__n_spans")).otherwise(0)).cast("long").alias(
+            "num_spans_dropped"
+        ),
+    )
+
+
 def rate_limit(
     df: DataFrame, key_cols: list[str], order_col: str, n: int
 ) -> DataFrame:

@@ -86,6 +86,7 @@ def main() -> None:
         "metric": "scaling_efficiency_N_to_4N",
         "n_pages": n_pages,
         "trial_pairs": len(pairs),
+        "pairs": [[round(l, 1), round(h, 1)] for l, h in pairs],
         f"docs_per_sec_local[{lo}]": best_lo,
         f"docs_per_sec_local[{hi}]": best_hi,
         "per_pair_efficiency": [round(e, 3) for e in per_pair],
