@@ -121,3 +121,19 @@ def test_extraction_picks_first_occurrence_any_layout(spark):
     assert out[2]["title"] == "first-title"
     assert out[2]["status"] == 301
     assert out[2]["message"] == "msg"
+
+
+def test_arrow_and_pandas_engines_identical(spark, sf_dir):
+    """The mapInArrow/RE2 hot path and the pandas-UDF path must produce
+    identical rows — the pandas path is the cross-engine oracle."""
+    pages = synth.pages_from_documents(spark, sf_dir)
+    cols = sorted(parse.parse_stage(pages).columns)
+    a = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in parse.parse_stage(pages, engine="arrow").collect()
+    )
+    p = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in parse.parse_stage(pages, engine="pandas").collect()
+    )
+    assert a == p
