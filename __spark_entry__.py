@@ -1195,6 +1195,18 @@ ORACLE_ANN_IVF = similarity.brute_force_topk_sql(
 )
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    # trained coarse quantizer (spherical k-means, deterministic init) +
+    # multi-probe search; nprobe == n_cells probes every cell, so the
+    # result is provably identical to brute force and shares its oracle.
+    # Recall at nprobe < n_cells is covered by tests/test_operators.py.
+    emb = _emb(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, iters=2)
+    return similarity.ivf_topk_trained(
+        emb, emb.filter("vec_id < 10"), cents, k=5, nprobe=8
+    )
+
+
 def q_lang_id(spark, sf_dir):
     out = text_fns.lang_id(_docs(spark, sf_dir))
     return out.select(
@@ -1331,6 +1343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_banded": q_embedding_neardup_banded,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1391,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_banded": ORACLE_EMB_NEARDUP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ann_ivf": ORACLE_ANN_IVF,
+        "ann_ivf_trained": ORACLE_ANN_TOPK,
         "lang_id": _oracle_lang_id(),
         "quality_score": ORACLE_QUALITY,
         "token_count": ORACLE_TOKEN_COUNT,

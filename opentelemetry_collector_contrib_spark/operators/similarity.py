@@ -144,6 +144,135 @@ def ivf_topk(
     )
 
 
+def _cos_to_centroids(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array column of cosine(vec, centroid_i) for each trained centroid."""
+    return F.array(
+        *[cosine(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest (max-cosine) centroid — pure JVM
+    expression over literal centroids, no join and no Python in the path."""
+    arr = _cos_to_centroids(vec, centroids)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 3,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: spherical k-means (Lloyd) entirely as
+    DataFrame ops, deterministic init (the ``n_cells`` lowest ids).
+
+    Each iteration assigns every vector to its max-cosine centroid (literal
+    array expression — no shuffle) and recomputes centroids as the
+    element-wise mean via ``posexplode`` + groupBy(cell, pos): one partial
+    aggregation whose shuffle is n_cells x dim rows regardless of corpus
+    size. Only the centroids (n_cells x dim floats) ever reach the driver —
+    the standard FAISS-style split where the coarse quantizer is tiny
+    driver/broadcast state and the corpus never leaves the executors.
+
+    At 10^12 rows train on a deterministic sample (``sample_mod=m`` keeps
+    ids with xxhash64(id) % m == 0) — quantizer quality needs only a few
+    million points, not the corpus.
+    """
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if sample_mod > 1:
+        v = v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(sample_mod)) == 0)
+    centroids = [
+        [float(x) for x in r["vec"]]
+        for r in v.orderBy("id").limit(n_cells).collect()
+    ]
+    for _ in range(iters):
+        assigned = v.select(assign_cell(F.col("vec"), centroids).alias("cell"), "vec")
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        centroids = [
+            [cell[p] for p in sorted(cell)] if (cell := by_cell.get(i)) else centroids[i]
+            for i in range(n_cells)
+        ]
+    return centroids
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search with a trained quantizer and multi-probe: each corpus
+    vector lives in exactly one cell; each query probes its ``nprobe``
+    closest cells (explode -> equi-join on cell), so the scan cost per query
+    is ~nprobe/n_cells of the corpus instead of all of it. With
+    ``nprobe == len(centroids)`` every cell is probed and the result is
+    provably identical to :func:`brute_force_topk` (the contract oracle).
+
+    Plan shape at scale: corpus-side cell assignment is a literal
+    expression (no shuffle); queries (small) broadcast; the only shuffle is
+    the final per-query top-k, pre-pruned by the same two-level trick as
+    brute force.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).select(
+        "q_id",
+        "q_vec",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        _cos_to_centroids(F.col("q_vec"), centroids),
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda cos, i: F.struct((-cos).alias("neg"), i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            1,
+            nprobe,
+        ).alias("probes"),
+    ).select("q_id", "q_vec", F.explode("probes").alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    local_w = Window.partitionBy(
+        "q_id", F.pmod(F.xxhash64("n_id"), F.lit(64))
+    ).orderBy(F.col("cos").desc(), F.col("n_id"))
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("cos", 5).alias("cos"))
+    )
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -112,6 +112,55 @@ def test_stopgram_filter_changes_join_input(spark):
     assert f == {(1, 2), (3, 4)}
 
 
+def test_ivf_trained_full_probe_identical_to_brute_force(spark):
+    """nprobe == n_cells probes every cell, so trained IVF must return
+    exactly the brute-force top-k (cell assignment only partitions the
+    corpus; full probing reassembles it)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    cents = similarity.train_ivf_centroids(emb, n_cells=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    exact = {tuple(r) for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    full = {
+        tuple(r)
+        for r in similarity.ivf_topk_trained(emb, q, cents, k=3, nprobe=4).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_trained_training_is_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = similarity.train_ivf_centroids(emb, n_cells=4, iters=2)
+    c2 = similarity.train_ivf_centroids(emb, n_cells=4, iters=2)
+    assert c1 == c2
+
+
+def test_ivf_trained_multiprobe_recall(spark):
+    """On clustered data (the synthetic embeddings are label-clustered),
+    probing half the cells must recall most true neighbors — and strictly
+    more than probing one cell."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, iters=3)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.ivf_topk_trained(
+                emb, q, cents, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.6, f"recall@nprobe=4 too low: {r4}"
+
+
 def test_jaccard_for_pairs_restricts_to_given_pairs(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e"), (3, "a b c f")],
