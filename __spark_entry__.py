@@ -924,6 +924,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_carbon_roundtrip(spark, sf_dir):
+    # exporter -> receiver round trip for the Graphite plaintext protocol:
+    # rows -> "name;user=<u> value ts" lines (metricdata_to_plaintext.go:
+    # 289-326) -> parsed back (path_parser_helper.go:101-135,
+    # plaintext_parser.go:51-90); the oracle recomputes the aggregate from
+    # the raw columns, proving the wire format is lossless
+    from opentelemetry_collector_contrib_spark.sources import carbon
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("evt."), F.col("event_type")).alias("metric_name"),
+        (F.col("user_id") % 10).cast("string").alias("user_tag"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    lines = carbon.to_carbon_lines(ev, "metric_name", ["user_tag"], "value", "ts")
+    parsed = carbon.parse_carbon_lines(lines).filter("valid")
+    return parsed.groupBy(
+        "metric_name", F.element_at("tags", "user_tag").alias("user_tag")
+    ).agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.max(F.col("ts").cast("long")).alias("max_epoch"),
+    )
+
+
+ORACLE_CARBON = """
+SELECT 'evt.' || event_type AS metric_name,
+  CAST(user_id % 10 AS VARCHAR) AS user_tag,
+  ROUND(SUM(value), 4) AS value_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_loki_streams(spark, sf_dir):
     # severity_in is only set for fmt-A rows, stream only for B/C; corrupt
     # rows map no labels at all -> the labels='' dropped bucket
@@ -1199,7 +1234,7 @@ def q_ann_ivf_trained(spark, sf_dir):
     # trained coarse quantizer (spherical k-means, deterministic init) +
     # multi-probe search; nprobe == n_cells probes every cell, so the
     # result is provably identical to brute force and shares its oracle.
-    # Recall at nprobe < n_cells is covered by tests/test_operators.py.
+    # Recall at nprobe < n_cells is covered by tests/test_dedup_scale.py.
     emb = _emb(spark, sf_dir)
     cents = similarity.train_ivf_centroids(emb, n_cells=8, iters=2)
     return similarity.ivf_topk_trained(
@@ -1324,6 +1359,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metricstransform_combine": q_metricstransform_combine,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
+        "carbon_roundtrip": q_carbon_roundtrip,
         "loki_streams": q_loki_streams,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,
@@ -1388,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "metricstransform_combine": ORACLE_MT_COMBINE,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
+        "carbon_roundtrip": ORACLE_CARBON,
         "loki_streams": ORACLE_LOKI,
         "multimodal_decode": ORACLE_MM_DECODE,
         "frame_sample": ORACLE_FRAME_SAMPLE,

@@ -153,3 +153,56 @@ def test_file_fingerprints_stable_across_rename(spark, tmp_path):
     fp3 = src_text.file_fingerprints(spark, str(tmp_path / "rotated.log")).collect()[0]
     assert fp3["fingerprint"] == fp1["fingerprint"]
     assert fp3["file_bytes"] == 2004
+
+
+def test_carbon_parse_reference_edge_cases(spark):
+    """Table-driven against path_parser_helper.go:101-135 +
+    plaintext_parser.go:51-90: exactly-3-parts, int-first value parse,
+    integer-seconds timestamp, tag key '=' at index >= 1."""
+    from opentelemetry_collector_contrib_spark.sources import carbon
+
+    rows = [
+        ("foo 1 1609459200",),            # minimal valid, int value
+        ("foo;k=v;k2= 2.5 1609459200",),  # tags incl. empty value, float
+        ("foo;=v 1 1",),                  # empty tag key -> invalid
+        ("foo;k 1 1",),                   # tag without '=' -> invalid
+        (";k=v 1 1",),                    # empty metric name -> invalid
+        ("foo 1",),                       # 2 parts -> invalid
+        ("foo 1 2 3",),                   # 4 parts -> invalid
+        ("foo bar 1",),                   # non-numeric value -> invalid
+        ("foo 1 1.5",),                   # fractional timestamp -> invalid
+    ]
+    df = spark.createDataFrame(rows, "line STRING")
+    out = carbon.parse_carbon_lines(df).collect()
+    by_line = dict(zip([r[0] for r in rows], out))
+
+    ok = by_line["foo 1 1609459200"]
+    assert ok["valid"] and ok["metric_name"] == "foo" and ok["is_int"]
+    assert ok["value"] == 1.0 and ok["tags"] == {}
+
+    tagged = by_line["foo;k=v;k2= 2.5 1609459200"]
+    assert tagged["valid"] and not tagged["is_int"]
+    assert tagged["tags"] == {"k": "v", "k2": ""}
+    assert tagged["value"] == 2.5
+
+    for bad in rows[2:]:
+        assert not by_line[bad[0]]["valid"], f"expected invalid: {bad[0]}"
+
+
+def test_carbon_roundtrip_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sources import carbon
+
+    df = spark.createDataFrame(
+        [("cpu", "a", 1.25, "2024-01-01 00:00:01"),
+         ("cpu", "b", 3.0, "2024-01-01 00:00:02")],
+        "name STRING, hostv STRING, v DOUBLE, ts_s STRING",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    lines = carbon.to_carbon_lines(df, "name", ["hostv"], "v", "ts")
+    back = carbon.parse_carbon_lines(lines)
+    got = {
+        (r["metric_name"], r["tags"]["hostv"], r["value"], r["valid"])
+        for r in back.collect()
+    }
+    assert got == {("cpu", "a", 1.25, True), ("cpu", "b", 3.0, True)}
