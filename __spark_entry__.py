@@ -959,6 +959,151 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_wavefront_roundtrip(spark, sf_dir):
+    # wavefront wire format (wavefront_parser.go:61-139): construct lines
+    # incl. a quoted tag value with a space (the stateful tokenizer path),
+    # parse back, aggregate; oracle recomputes from the raw columns
+    from opentelemetry_collector_contrib_spark.sources import wavefront
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" "),
+            F.col("value").cast("string"), F.lit(" "),
+            F.unix_timestamp(F.col("ts")).cast("string"),
+            F.lit(" source=h"), (F.col("user_id") % 5).cast("string"),
+            F.lit(' dc="dc 1"'),
+        ).alias("line")
+    )
+    parsed = wavefront.parse_wavefront_lines(lines).filter("valid")
+    return parsed.groupBy(
+        "metric_name",
+        F.col("tags").getItem("source").alias("source"),
+        F.col("tags").getItem("dc").alias("dc"),
+    ).agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.max(F.col("ts").cast("long")).alias("max_epoch"),
+    )
+
+
+ORACLE_WAVEFRONT = """
+SELECT event_type AS metric_name,
+  'h' || CAST(user_id % 5 AS VARCHAR) AS source,
+  'dc 1' AS dc,
+  ROUND(SUM(value), 4) AS value_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_collectd_decode(spark, sf_dir):
+    # collectd write_http JSON records (collectd.go:34-95): two parallel
+    # datapoints per record (gauge double + derive int), bracket label
+    # extraction from host/type_instance, then decode and re-aggregate;
+    # the oracle rebuilds both datapoint families from the raw columns
+    from opentelemetry_collector_contrib_spark.sources import collectd
+
+    ev = _events(spark, sf_dir)
+    js = ev.select(
+        F.to_json(
+            F.struct(
+                F.array(F.lit("short"), F.lit("long")).alias("dsnames"),
+                F.array(F.lit("gauge"), F.lit("derive")).alias("dstypes"),
+                F.array(
+                    F.col("value").cast("string"),
+                    F.col("user_id").cast("string"),
+                ).alias("values"),
+                F.unix_timestamp("ts").cast("double").alias("time"),
+                F.lit(10.0).alias("interval"),
+                F.concat(
+                    F.lit("host[region=r"),
+                    (F.col("user_id") % 3).cast("string"),
+                    F.lit("]-x"),
+                ).alias("host"),
+                F.lit("load").alias("plugin"),
+                F.col("event_type").alias("type"),
+                F.lit("ti[env=prod]").alias("type_instance"),
+            )
+        ).alias("json")
+    )
+    pts = collectd.parse_collectd_records(js).filter(~F.col("is_event"))
+    return pts.groupBy(
+        "metric_name",
+        F.col("labels").getItem("region").alias("region"),
+        F.col("labels").getItem("env").alias("env"),
+        F.col("labels").getItem("host").alias("host"),
+        "is_cumulative",
+    ).agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+ORACLE_COLLECTD = """
+SELECT event_type || '.ti.short' AS metric_name,
+  'r' || CAST(user_id % 3 AS VARCHAR) AS region, 'prod' AS env,
+  'host-x' AS host, FALSE AS is_cumulative,
+  ROUND(SUM(value), 4) AS value_sum, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM events GROUP BY 1, 2, 3, 4, 5
+UNION ALL
+SELECT event_type || '.ti.long' AS metric_name,
+  'r' || CAST(user_id % 3 AS VARCHAR) AS region, 'prod' AS env,
+  'host-x' AS host, TRUE AS is_cumulative,
+  ROUND(SUM(CAST(user_id AS DOUBLE)), 4) AS value_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_points
+FROM events GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_influx_decode(spark, sf_dir):
+    # InfluxDB line protocol (receiver/influxdbreceiver wire contract):
+    # two fields per line (float + 'i'-suffixed int), a tag, ns timestamp;
+    # decode fans fields into rows; oracle rebuilds both field families
+    from opentelemetry_collector_contrib_spark.sources import influx
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(",user=u"), (F.col("user_id") % 5).cast("string"),
+            F.lit(" value="), F.col("value").cast("string"),
+            F.lit(",k="), F.get_json_object("props", "$.k"), F.lit("i"),
+            F.lit(" "),
+            (F.unix_timestamp("ts").cast("long") * F.lit(1000000000)).cast(
+                "string"
+            ),
+        ).alias("line")
+    )
+    parsed = influx.parse_influx_lines(lines).filter("valid")
+    return parsed.groupBy(
+        "measurement",
+        F.col("tags").getItem("user").alias("user_tag"),
+        "field_key",
+    ).agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.max(F.col("ts").cast("long")).alias("max_epoch"),
+    )
+
+
+ORACLE_INFLUX = """
+SELECT event_type AS measurement, 'u' || CAST(user_id % 5 AS VARCHAR) AS user_tag,
+  'value' AS field_key, ROUND(SUM(value), 4) AS value_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT event_type AS measurement, 'u' || CAST(user_id % 5 AS VARCHAR) AS user_tag,
+  'k' AS field_key,
+  ROUND(SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS value_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def q_loki_streams(spark, sf_dir):
     # severity_in is only set for fmt-A rows, stream only for B/C; corrupt
     # rows map no labels at all -> the labels='' dropped bucket
@@ -1360,6 +1505,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
+        "wavefront_roundtrip": q_wavefront_roundtrip,
+        "collectd_decode": q_collectd_decode,
+        "influx_decode": q_influx_decode,
         "loki_streams": q_loki_streams,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,
@@ -1425,6 +1573,9 @@ def oracle_sql() -> dict[str, str]:
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,
+        "wavefront_roundtrip": ORACLE_WAVEFRONT,
+        "collectd_decode": ORACLE_COLLECTD,
+        "influx_decode": ORACLE_INFLUX,
         "loki_streams": ORACLE_LOKI,
         "multimodal_decode": ORACLE_MM_DECODE,
         "frame_sample": ORACLE_FRAME_SAMPLE,

@@ -56,6 +56,9 @@ HEADLINE_QUERIES = [
     "token_count",
     "tpch_q1",
     "tpch_q3_top10",
+    # wire-format decoders (pure JVM map stages)
+    "carbon_roundtrip",
+    "influx_decode",
 ]
 
 

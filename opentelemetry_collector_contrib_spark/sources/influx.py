@@ -1,0 +1,141 @@
+"""InfluxDB line protocol decoder.
+
+Reference: receiver/influxdbreceiver (which delegates wire parsing to the
+upstream influxdata line-protocol library; the format contract is
+https://docs.influxdata.com/influxdb/v2/reference/syntax/line-protocol/):
+
+    measurement[,tag_key=tag_value...] field_key=field_value[,...] [ts_ns]
+
+Semantics reproduced:
+  - identifier escaping: ``\\,`` ``\\ `` ``\\=`` inside measurement, tag
+    keys/values and field keys; string field values are double-quoted with
+    ``\\"`` and ``\\\\`` escapes;
+  - field value typing: ``123i`` → int, ``"…"`` → string, ``true/false``
+    (any case per the lib: t/T/true/True/TRUE …) → bool, else float;
+  - timestamp is optional integer **nanoseconds**; when omitted the line
+    is stamped server-side — here it surfaces as NULL ``ts`` for the
+    caller to fill (same batch-engine deviation as sources/wavefront.py);
+  - a line with no valid field section is invalid (the lib rejects it).
+
+Output is one row per field (the receiver likewise fans a line's fields
+into separate metrics): (measurement, tags MAP, field_key, value DOUBLE
+for numeric/bool, value_str for strings, field_type, ts, valid).
+
+Pure JVM regex/higher-order functions — a single map stage, no shuffle,
+no Python; the same scale posture as the other wire-format decoders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one measurement/tag token: escaped char or anything but comma/backslash
+_ID_TOKEN = r"(?:[^,\\]|\\.)+"
+# fields section token: quoted string (with escapes) or escaped/plain chars
+_FIELD_TOKEN = r'(?:[^,"\\]|\\.|"(?:[^"\\]|\\.)*")+'
+# whole line: section1 (no unescaped space), fields (quotes absorb spaces),
+# optional integer ns timestamp
+_LINE_RE = (
+    r'^((?:[^ \\]|\\.)+) ((?:[^ "\\]|\\.|"(?:[^"\\]|\\.)*")+)( -?\d+)?$'
+)
+
+_TRUE_RE = "^(t|T|true|True|TRUE)$"
+_FALSE_RE = "^(f|F|false|False|FALSE)$"
+
+
+def _unescape(col):
+    """Remove identifier escapes: ``\\x`` → ``x``."""
+    return F.regexp_replace(col, r"\\(.)", "$1")
+
+
+def parse_influx_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    line = F.col(line_col)
+    sec1 = F.regexp_extract(line, _LINE_RE, 1)
+    sec2 = F.regexp_extract(line, _LINE_RE, 2)
+    ts_str = F.trim(F.regexp_extract(line, _LINE_RE, 3))
+    line_ok = sec1 != ""
+
+    id_tokens = F.regexp_extract_all(sec1, F.lit(f"({_ID_TOKEN})"), 1)
+    measurement = _unescape(F.get(id_tokens, 0))
+    tag_tokens = F.slice(id_tokens, 2, F.size(id_tokens))
+    # each tag must be key=value with an unescaped '='
+    tag_re = r"^(?:[^=\\]|\\.)+=(?:[^=\\]|\\.)*$"
+    tags_ok = F.forall(tag_tokens, lambda t: t.rlike(tag_re))
+    tags = F.map_from_arrays(
+        F.transform(
+            tag_tokens,
+            lambda t: _unescape(F.regexp_extract(t, r"^((?:[^=\\]|\\.)+)=", 1)),
+        ),
+        F.transform(
+            tag_tokens,
+            lambda t: _unescape(F.regexp_replace(t, r"^(?:[^=\\]|\\.)+=", "")),
+        ),
+    )
+
+    field_tokens = F.regexp_extract_all(sec2, F.lit(f"({_FIELD_TOKEN})"), 1)
+    field_re = r'^(?:[^=\\"]|\\.)+=(?:"(?:[^"\\]|\\.)*"|[^="]+)$'
+    fields_ok = (F.size(field_tokens) > 0) & F.forall(
+        field_tokens, lambda t: t.rlike(field_re)
+    )
+
+    ts_ns = ts_str.try_cast("long")
+    ts_ok = (ts_str == "") | ts_ns.isNotNull()
+
+    valid = F.coalesce(
+        line_ok & (measurement != "") & tags_ok & fields_ok & ts_ok,
+        F.lit(False),
+    )
+
+    exploded = (
+        df.select(
+            measurement.alias("measurement"),
+            tags.alias("tags"),
+            F.when(ts_str != "", F.timestamp_seconds(ts_ns / 1e9)).alias("ts"),
+            valid.alias("valid"),
+            F.when(valid, field_tokens)
+            .otherwise(F.array(F.lit("")))
+            .alias("__fields"),
+        )
+        .select("*", F.explode("__fields").alias("__f"))
+        .drop("__fields")
+    )
+    raw_val = F.regexp_replace(F.col("__f"), r'^(?:[^=\\"]|\\.)+=', "")
+    is_str = raw_val.rlike('^".*"$')
+    is_int = raw_val.rlike("^-?\\d+i$")
+    is_bool = raw_val.rlike(_TRUE_RE) | raw_val.rlike(_FALSE_RE)
+    num = F.when(is_int, F.regexp_replace(raw_val, "i$", "").try_cast("double")) \
+        .when(is_bool, F.when(raw_val.rlike(_TRUE_RE), 1.0).otherwise(0.0)) \
+        .when(~is_str, raw_val.try_cast("double"))
+    str_val = F.when(
+        is_str,
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(raw_val, 2, F.length(raw_val) - 2), r'\\"', '"'
+            ),
+            r"\\\\",
+            r"\\",
+        ),
+    )
+    ftype = (
+        F.when(is_str, "string")
+        .when(is_int, "int")
+        .when(is_bool, "bool")
+        .when(num.isNotNull(), "float")
+        .otherwise("invalid")
+    )
+    # a numeric-typed token that fails the cast invalidates the whole line
+    # in the reference lib; flag it per-row here
+    row_valid = F.col("valid") & (is_str | num.isNotNull())
+    return exploded.select(
+        "measurement",
+        "tags",
+        _unescape(
+            F.regexp_extract(F.col("__f"), r'^((?:[^=\\"]|\\.)+)=', 1)
+        ).alias("field_key"),
+        num.alias("value"),
+        str_val.alias("value_str"),
+        ftype.alias("field_type"),
+        "ts",
+        row_valid.alias("valid"),
+    )

@@ -206,3 +206,160 @@ def test_carbon_roundtrip_lossless(spark):
         for r in back.collect()
     }
     assert got == {("cpu", "a", 1.25, True), ("cpu", "b", 3.0, True)}
+
+
+def test_wavefront_parse_reference_cases(spark):
+    """Table-driven against wavefront_parser.go:61-139 + buildLabels
+    (:171-230): optional timestamp, quoted names/values, escape handling,
+    full-consumption tag validation."""
+    from opentelemetry_collector_contrib_spark.sources import wavefront
+
+    rows = [
+        ('cpu.load 1.5 1609459200 source=h1 dc="us west"',),
+        ('"my.metric" 2 source=h1',),       # omitted ts -> null ts, valid
+        ("cpu 1 notanumber",),              # 3rd token not ts, not tag -> invalid
+        ("cpu 1",),                          # 2 parts -> invalid
+        ("cpu x 1 source=h",),              # bad value -> invalid
+        (r'cpu 1 1 k="a\"b"',),             # escaped quote in value
+        ("cpu 1 1 source=h1 junk",),        # leftover non-tag junk -> invalid
+        ("cpu 3 1 k=v=w",),                 # '=' in bare value is legal
+    ]
+    df = spark.createDataFrame(rows, "line STRING")
+    out = {r_in[0]: r for r_in, r in zip(rows, wavefront.parse_wavefront_lines(df).collect())}
+
+    full = out['cpu.load 1.5 1609459200 source=h1 dc="us west"']
+    assert full["valid"] and not full["is_int"]
+    assert full["tags"] == {"source": "h1", "dc": "us west"}
+    assert full["ts"] is not None
+
+    # NB: the reference splits the raw line on spaces BEFORE unquoting, so
+    # a quoted name may not contain spaces (SplitN, wavefront_parser.go:62)
+    nots = out['"my.metric" 2 source=h1']
+    assert nots["valid"] and nots["metric_name"] == "my.metric"
+    assert nots["ts"] is None and nots["tags"] == {"source": "h1"}
+    assert nots["is_int"] and nots["value"] == 2.0
+
+    esc = out[r'cpu 1 1 k="a\"b"']
+    assert esc["valid"] and esc["tags"] == {"k": 'a"b'}
+
+    eqv = out["cpu 3 1 k=v=w"]
+    assert eqv["valid"] and eqv["tags"] == {"k": "v=w"}
+
+    for bad in ("cpu 1 notanumber", "cpu 1", "cpu x 1 source=h",
+                "cpu 1 1 source=h1 junk"):
+        assert not out[bad]["valid"], f"expected invalid: {bad}"
+
+
+def test_collectd_decode_reference_semantics(spark):
+    """collectd.go: per-index guard, name building, bracket label
+    extraction, label precedence, event routing."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.sources import collectd
+
+    metric = {
+        "dsnames": ["short", "long"],
+        "dstypes": ["gauge", "derive"],
+        "values": [1.5, 7],
+        "time": 1609459200.25,
+        "interval": 10.0,
+        "host": "host[region=r1]-x",
+        "plugin": "load",
+        "plugin_instance": "pi[env=prod]",
+        "type": "sys",
+        "type_instance": "ti[zone=z1]",
+    }
+    ragged = {
+        "dsnames": ["a", "b"],
+        "dstypes": ["gauge"],          # i=1 skipped: no dstype
+        "values": [2, None],           # i=1 also null
+        "time": 1.0,
+        "plugin": "p",
+        "type": "t",
+    }
+    badbracket = {
+        "dsnames": ["v"],
+        "dstypes": ["counter"],
+        "values": [3],
+        "time": 1.0,
+        "type": "t",
+        "type_instance": "x[k=v,broken]",  # malformed piece voids bracket
+    }
+    event = {
+        "time": 5.0,
+        "severity": "warn",
+        "message": "disk full",
+    }
+    df = spark.createDataFrame(
+        [(_json.dumps(r),) for r in (metric, ragged, badbracket, event)],
+        "json STRING",
+    )
+    rows = collectd.parse_collectd_records(df).collect()
+    points = [r for r in rows if not r["is_event"]]
+    events = [r for r in rows if r["is_event"]]
+
+    assert len(events) == 1
+    assert events[0]["message"] == "disk full" and events[0]["severity"] == "warn"
+
+    by_name = {r["metric_name"]: r for r in points}
+    # metric: two datapoints named type.cleaned_ti.dsname
+    p0 = by_name["sys.ti.short"]
+    assert p0["value"] == 1.5 and p0["is_double"] and not p0["is_cumulative"]
+    assert p0["labels"]["zone"] == "z1"          # ti bracket dim
+    assert p0["labels"]["plugin"] == "load"
+    assert p0["labels"]["env"] == "prod"         # pi bracket dim
+    assert p0["labels"]["plugin_instance"] == "pi"
+    assert p0["labels"]["region"] == "r1"        # host bracket dim
+    assert p0["labels"]["host"] == "host-x"
+    assert "dsname" not in p0["labels"]          # folded into the name
+    p1 = by_name["sys.ti.long"]
+    assert p1["value"] == 7.0 and not p1["is_double"] and p1["is_cumulative"]
+
+    # ragged: only i=0 survives the guard; single dsname in name? two
+    # dsnames exist so the name still uses it
+    assert "t.a" in by_name and "t.b" not in by_name
+    assert by_name["t.a"]["value"] == 2.0
+
+    # malformed bracket: original type_instance kept verbatim, no dims;
+    # single dsname -> dsname becomes a label, not part of the name
+    pb = by_name["t.x[k=v,broken]"]
+    assert pb["is_cumulative"]
+    assert pb["labels"].get("k") is None
+    assert pb["labels"]["dsname"] == "v"
+
+
+def test_influx_line_protocol_decode(spark):
+    """Line-protocol subset contract: escapes in identifiers, quoted
+    string fields (spaces/commas/escaped quotes), int 'i' suffix, bools,
+    optional ns timestamp."""
+    from opentelemetry_collector_contrib_spark.sources import influx
+
+    rows = [
+        ("cpu,host=h1,dc=east usage=0.5,idle=99i 1609459200000000000",),
+        (r"disk\ io,path=/var used=1.5",),                # escaped space, no ts
+        ('ev,app=web msg="hello, \\"world\\"",ok=true 5',),  # quoted string field
+        ("bad_no_fields 1609459200000000000",),           # ts can't be fields
+        ("m f=notanumber",),                              # bad numeric -> invalid
+    ]
+    df = spark.createDataFrame(rows, "line STRING")
+    out = influx.parse_influx_lines(df).collect()
+    valid = [r for r in out if r["valid"]]
+    by_key = {(r["measurement"], r["field_key"]): r for r in valid}
+
+    u = by_key[("cpu", "usage")]
+    assert u["value"] == 0.5 and u["field_type"] == "float"
+    assert u["tags"] == {"host": "h1", "dc": "east"}
+    assert u["ts"] is not None
+    i = by_key[("cpu", "idle")]
+    assert i["value"] == 99.0 and i["field_type"] == "int"
+
+    d = by_key[("disk io", "used")]
+    assert d["value"] == 1.5 and d["ts"] is None
+
+    m = by_key[("ev", "msg")]
+    assert m["field_type"] == "string" and m["value_str"] == 'hello, "world"'
+    ok = by_key[("ev", "ok")]
+    assert ok["field_type"] == "bool" and ok["value"] == 1.0
+
+    # the two malformed lines contribute no valid rows
+    assert not any(r["measurement"] in ("bad_no_fields", "m") for r in valid)
