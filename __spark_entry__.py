@@ -879,6 +879,58 @@ FROM events GROUP BY 1
 """
 
 
+def q_metricstransform_ops(spark, sf_dir):
+    # Chains the remaining per-datapoint metricstransform operations
+    # (operation_add_label.go / operation_update_label.go /
+    # operation_delete_label_value.go / metrics_transform_processor.go:439-440
+    # ToggleScalarDataType / config.go Insert action): copy 'purchase' under a
+    # new name, tag the copy with a constant label, rename+remap a shard
+    # label, drop one label value, flip double->int64, then aggregate so the
+    # result is small and deterministic.
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric_name"),
+        (F.col("user_id") % 4).cast("string").alias("shard"),
+        "value",
+    )
+    out = metricstransform.insert_copy(ev, "purchase", "purchase_copy")
+    out = metricstransform.add_label(
+        out, "env", "prod", F.col("metric_name") == "purchase_copy"
+    )
+    out = metricstransform.update_label(
+        out, "shard", new_label="lane", value_mapping={"0": "zero", "1": "one"}
+    )
+    out = metricstransform.delete_label_value(out, "lane", "3")
+    out = metricstransform.toggle_scalar_data_type(out)
+    return out.groupBy("metric_name", "lane", "env").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+
+
+ORACLE_MT_OPS = """
+WITH base AS (
+  SELECT event_type AS metric_name,
+         CAST(user_id % 4 AS VARCHAR) AS shard,
+         value
+  FROM events
+), withcopy AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT 'purchase_copy', shard, value FROM base WHERE metric_name = 'purchase'
+), labeled AS (
+  SELECT metric_name,
+         CASE WHEN metric_name = 'purchase_copy' THEN 'prod' END AS env,
+         CASE shard WHEN '0' THEN 'zero' WHEN '1' THEN 'one' ELSE shard END AS lane,
+         CAST(TRUNC(value) AS BIGINT) AS value
+  FROM withcopy
+)
+SELECT metric_name, lane, env,
+       COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_value
+FROM labeled
+WHERE lane IS DISTINCT FROM '3'
+GROUP BY 1, 2, 3
+"""
+
+
 MULTILINE_LINES_SQL = (
     "SELECT source AS file, doc_id AS off, "  # 'offset' is reserved in DuckDB
     "CASE WHEN doc_id % 4 = 0 THEN 'START ' || lang ELSE 'cont ' || lang END AS line "
@@ -1502,6 +1554,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_rfc3164": q_syslog_rfc3164,
         "metricstransform_label_values": q_metricstransform_label_values,
         "metricstransform_combine": q_metricstransform_combine,
+        "metricstransform_ops": q_metricstransform_ops,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
@@ -1570,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "syslog_rfc3164": ORACLE_SYSLOG_3164,
         "metricstransform_label_values": ORACLE_MT_LABEL_VALUES,
         "metricstransform_combine": ORACLE_MT_COMBINE,
+        "metricstransform_ops": ORACLE_MT_OPS,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,

@@ -67,6 +67,69 @@ def aggregate_label_values(
     return aggregate_labels(relabeled, other_labels + [label], value_col, agg, ts_col)
 
 
+def add_label(
+    df: DataFrame, key: str, value: str, name_pred=None
+) -> DataFrame:
+    """AddLabel (operation_add_label.go:19-31): attach a constant label to
+    every datapoint of the matched metrics; unmatched rows keep NULL (the
+    flat-schema analogue of 'label absent')."""
+    v = F.lit(value)
+    if name_pred is not None:
+        v = F.when(name_pred, v)
+    return df.withColumn(key, v)
+
+
+def update_label(
+    df: DataFrame,
+    label: str,
+    new_label: str | None = None,
+    value_mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """UpdateLabel (operation_update_label.go:22-43): optionally rename the
+    label (column) and apply ValueActions renames to its values; values
+    outside the mapping pass through unchanged."""
+    col = F.col(label)
+    if value_mapping:
+        expr = None
+        for old, new in value_mapping.items():
+            expr = (
+                F.when(col == old, F.lit(new))
+                if expr is None
+                else expr.when(col == old, F.lit(new))
+            )
+        col = expr.otherwise(col)
+    out = df.withColumn(label, col)
+    if new_label:
+        out = out.withColumnRenamed(label, new_label)
+    return out
+
+
+def delete_label_value(df: DataFrame, label: str, value: str) -> DataFrame:
+    """DeleteLabelValue (operation_delete_label_value.go:22-46): drop every
+    datapoint whose label carries the value (NULL-labeled rows are kept —
+    the reference only matches timeseries that HAVE the label value)."""
+    return df.filter(~F.col(label).eqNullSafe(value))
+
+
+def toggle_scalar_data_type(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """ToggleScalarDataType (metrics_transform_processor.go:439-440):
+    int64 ↔ double. Go's double→int64 conversion truncates toward zero —
+    so does Spark's double→long cast."""
+    dtype = dict(df.dtypes)[value_col]
+    target = "double" if dtype in ("bigint", "int", "long") else "long"
+    return df.withColumn(value_col, F.col(value_col).cast(target))
+
+
+def insert_copy(
+    df: DataFrame, old: str, new: str, name_col: str = "metric_name"
+) -> DataFrame:
+    """ConfigAction Insert (config.go:164-166): keep the original metric
+    and append a copy under the new name (operations then apply to the
+    copy — here the caller chains transforms on the returned union)."""
+    copy = df.filter(F.col(name_col) == old).withColumn(name_col, F.lit(new))
+    return df.unionByName(copy)
+
+
 def combine(dfs: list[DataFrame], new_name: str, name_col: str = "metric_name") -> DataFrame:
     """Combine matched metrics into one (metrics_transform_processor.go:279-421):
     union by name, overwrite the metric name."""

@@ -152,6 +152,41 @@ def test_metricstransform(spark):
     assert got == {"a": 20.0, "b": 20.0}
 
 
+def test_metricstransform_label_ops(spark):
+    df = spark.createDataFrame(
+        [("m1", "0", 1.9), ("m1", "1", -2.9), ("m2", "3", 4.0)],
+        ["metric_name", "shard", "value"],
+    )
+    # AddLabel: predicate-gated constant; unmatched rows stay NULL
+    al = metricstransform.add_label(df, "env", "prod", F.col("metric_name") == "m1")
+    got = {(r["metric_name"], r["shard"]): r["env"] for r in al.collect()}
+    assert got[("m1", "0")] == "prod" and got[("m2", "3")] is None
+    # UpdateLabel: rename + ValueActions; unmapped values pass through
+    ul = metricstransform.update_label(
+        df, "shard", new_label="lane", value_mapping={"0": "zero"}
+    )
+    assert "shard" not in ul.columns
+    got = sorted(r["lane"] for r in ul.collect())
+    assert got == ["1", "3", "zero"]
+    # DeleteLabelValue: drops matching rows, keeps NULL-labeled ones
+    nul = spark.createDataFrame(
+        [("m3", None, 0.0)], "metric_name string, shard string, value double"
+    )
+    dl = metricstransform.delete_label_value(df.unionByName(nul), "shard", "3")
+    got = sorted(r["metric_name"] for r in dl.collect())
+    assert got == ["m1", "m1", "m3"]
+    # ToggleScalarDataType: double -> long truncates toward zero, and back
+    tg = metricstransform.toggle_scalar_data_type(df)
+    assert dict(tg.dtypes)["value"] == "bigint"
+    got = {r["shard"]: r["value"] for r in tg.collect()}
+    assert got == {"0": 1, "1": -2, "3": 4}
+    assert dict(metricstransform.toggle_scalar_data_type(tg).dtypes)["value"] == "double"
+    # Insert action: original kept, copy appended under new name
+    ic = metricstransform.insert_copy(df, "m1", "m1_copy")
+    assert ic.count() == 5
+    assert ic.filter("metric_name = 'm1_copy'").count() == 2
+
+
 def test_tailsampling_two_pass(spark):
     df = spark.createDataFrame(
         [("t1", "error", 1.0), ("t1", "view", 2.0),
