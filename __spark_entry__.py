@@ -1156,6 +1156,77 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_prom_text_decode(spark, sf_dir):
+    # Prometheus text exposition format (simpleprometheusreceiver /
+    # prometheusexecreceiver scrape payloads): synthesize a counter family
+    # with ms timestamps and a gauge family whose label value carries an
+    # escaped quote, interleave TYPE/HELP/comment/blank/junk lines, parse,
+    # attach family metadata relationally, and re-aggregate per family.
+    from opentelemetry_collector_contrib_spark.sources import prometheus
+
+    ev = _events(spark, sf_dir)
+    counter = ev.select(
+        F.concat(
+            F.lit('events_total{type="'), F.col("event_type"),
+            F.lit('",shard="s'), (F.col("user_id") % 3).cast("string"),
+            F.lit('"} 1 '),
+            F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
+        ).alias("line")
+    )
+    gauge = ev.select(
+        F.concat(
+            F.lit('event_value{type="'), F.col("event_type"),
+            F.lit('",note="v\\"'), (F.col("user_id") % 7).cast("string"),
+            F.lit('"} '), F.col("value").cast("string"),
+        ).alias("line")
+    )
+    meta = spark.createDataFrame(
+        [
+            ("# TYPE events_total counter",),
+            ("# HELP events_total Event counts.",),
+            ("# TYPE event_value gauge",),
+            ("",),
+            ("# scrape boundary",),
+            ("!! not a metric",),
+        ],
+        "line string",
+    )
+    parsed = prometheus.parse_prometheus_text(
+        counter.unionByName(gauge).unionByName(meta)
+    )
+    out = prometheus.attach_family_meta(parsed)
+    return out.groupBy(
+        "metric_name",
+        "metric_type",
+        F.col("labels").getItem("type").alias("type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+        F.max(F.col("labels").getItem("note")).alias("max_note"),
+    )
+
+
+ORACLE_PROM_TEXT = """
+WITH s AS (
+  SELECT event_type, user_id, value,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events
+)
+SELECT 'events_total' AS metric_name, 'counter' AS metric_type,
+       event_type AS type, COUNT(*) AS n,
+       ROUND(SUM(CAST(1 AS DOUBLE)), 4) AS value_sum,
+       MAX(ts_ms) AS max_ts_ms,
+       CAST(NULL AS VARCHAR) AS max_note
+FROM s GROUP BY 3
+UNION ALL
+SELECT 'event_value', 'gauge', event_type, COUNT(*),
+       ROUND(SUM(value), 4), CAST(NULL AS BIGINT),
+       MAX('v"' || CAST(user_id % 7 AS VARCHAR))
+FROM s GROUP BY 3
+"""
+
+
 def q_loki_streams(spark, sf_dir):
     # severity_in is only set for fmt-A rows, stream only for B/C; corrupt
     # rows map no labels at all -> the labels='' dropped bucket
@@ -1561,6 +1632,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavefront_roundtrip": q_wavefront_roundtrip,
         "collectd_decode": q_collectd_decode,
         "influx_decode": q_influx_decode,
+        "prom_text_decode": q_prom_text_decode,
         "loki_streams": q_loki_streams,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,
@@ -1630,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "wavefront_roundtrip": ORACLE_WAVEFRONT,
         "collectd_decode": ORACLE_COLLECTD,
         "influx_decode": ORACLE_INFLUX,
+        "prom_text_decode": ORACLE_PROM_TEXT,
         "loki_streams": ORACLE_LOKI,
         "multimodal_decode": ORACLE_MM_DECODE,
         "frame_sample": ORACLE_FRAME_SAMPLE,

@@ -363,3 +363,62 @@ def test_influx_line_protocol_decode(spark):
 
     # the two malformed lines contribute no valid rows
     assert not any(r["measurement"] in ("bad_no_fields", "m") for r in valid)
+
+
+def test_prometheus_text_parse(spark):
+    from opentelemetry_collector_contrib_spark.sources import prometheus as prom
+
+    lines = [
+        "# HELP http_requests_total Total \\\\ requests\\n(escaped).",
+        "# TYPE http_requests_total counter",
+        'http_requests_total{method="post",code="200"} 1027 1395066363000',
+        'http_requests_total{method="get",path="/x \\" y\\\\z",} 3',
+        "# TYPE rpc_duration histogram",
+        'rpc_duration_bucket{le="+Inf"} 144320',
+        "rpc_duration_sum 53423.12",
+        "rpc_duration_count 144320",
+        "foo_sum 12.5",
+        "# TYPE foo_sum gauge",
+        "bad metric line!!",
+        "no_value_metric",
+        "minus_inf -Inf",
+        "nan_metric NaN",
+        "",
+        "# just a comment",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    parsed = prom.parse_prometheus_text(df)
+    kinds = [r["kind"] for r in parsed.collect()]
+    assert kinds == (
+        ["help", "type", "sample", "sample", "type"]
+        + ["sample"] * 4
+        + ["type", "invalid", "invalid", "sample", "sample"]
+        + ["blank", "comment"]
+    )
+    rows = {
+        (r["metric_name"], tuple(sorted((r["labels"] or {}).items()))): r
+        for r in parsed.filter("kind = 'sample'").collect()
+    }
+    # label-value escapes \" and \\ are unescaped
+    esc = rows[("http_requests_total", (("method", "get"), ("path", '/x " y\\z')))]
+    assert esc["value"] == 3.0 and esc["ts"] is None
+    # millisecond timestamps surface as TIMESTAMP
+    stamped = rows[("http_requests_total", (("code", "200"), ("method", "post")))]
+    assert stamped["ts"].year == 2014
+    # +Inf / -Inf / NaN values per strconv.ParseFloat
+    import math
+
+    assert rows[("rpc_duration_bucket", (("le", "+Inf"),))]["value"] == 144320.0
+    assert rows[("minus_inf", ())]["value"] == float("-inf")
+    assert math.isnan(rows[("nan_metric", ())]["value"])
+    # HELP docstring unescape: \\ -> \ and \n -> newline
+    help_text = parsed.filter("kind = 'help'").collect()[0]["meta_text"]
+    assert help_text == "Total \\ requests\n(escaped)."
+
+    # family metadata: exact name wins over suffix stripping
+    out = {r["metric_name"]: r for r in prom.attach_family_meta(parsed).collect()}
+    assert out["foo_sum"]["metric_type"] == "gauge"  # NOT histogram-suffixed
+    assert out["rpc_duration_sum"]["metric_type"] == "histogram"
+    assert out["rpc_duration_bucket"]["metric_type"] == "histogram"
+    assert out["http_requests_total"]["metric_help"].startswith("Total")
+    assert out["minus_inf"]["metric_type"] is None
