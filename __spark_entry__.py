@@ -1227,6 +1227,61 @@ FROM s GROUP BY 3
 """
 
 
+def q_emf_docs(spark, sf_dir):
+    # awsemf exporter (metric_translator.go:353-391): grouped metrics ->
+    # EMF structured-log JSON; parse the emitted documents back and verify
+    # every field (labels, values, _aws.Timestamp, namespace, rolled-up
+    # dimension sets, per-metric Unit incl. the omitted-Unit case).
+    from opentelemetry_collector_contrib_spark.sinks import awsemf
+
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy(
+        "event_type", (F.col("user_id") % 3).cast("string").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.unix_millis(F.max(F.col("ts").cast("timestamp"))).alias("ts_ms"),
+    )
+    docs = awsemf.to_emf_log_events(
+        g,
+        "ocs/events",
+        ["event_type", "shard"],
+        ["n", "value_sum"],
+        "ts_ms",
+        units={"n": "Count"},
+        rollup="ZeroAndSingleDimensionRollup",
+    )
+    m = F.col("message")
+    cw = "$._aws.CloudWatchMetrics[0]"
+    return docs.select(
+        F.get_json_object(m, "$.event_type").alias("event_type"),
+        F.get_json_object(m, "$.shard").alias("shard"),
+        F.get_json_object(m, "$.n").cast("double").alias("n"),
+        F.get_json_object(m, "$.value_sum").cast("double").alias("value_sum"),
+        F.get_json_object(m, "$._aws.Timestamp").cast("long").alias("ts_ms"),
+        F.get_json_object(m, f"{cw}.Namespace").alias("namespace"),
+        F.get_json_object(m, f"{cw}.Dimensions").alias("dims_json"),
+        F.get_json_object(m, f"{cw}.Metrics[0].Unit").alias("n_unit"),
+        F.get_json_object(m, f"{cw}.Metrics[1].Name").alias("m2_name"),
+        F.get_json_object(m, f"{cw}.Metrics[1].Unit").alias("m2_unit"),
+    )
+
+
+ORACLE_EMF = """
+SELECT event_type,
+       CAST(user_id % 3 AS VARCHAR) AS shard,
+       CAST(COUNT(*) AS DOUBLE) AS n,
+       ROUND(SUM(value), 4) AS value_sum,
+       MAX(CAST(epoch_ms(ts) AS BIGINT)) AS ts_ms,
+       'ocs/events' AS namespace,
+       '[["event_type","shard"],[],["event_type"],["shard"]]' AS dims_json,
+       'Count' AS n_unit,
+       'value_sum' AS m2_name,
+       CAST(NULL AS VARCHAR) AS m2_unit
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_loki_streams(spark, sf_dir):
     # severity_in is only set for fmt-A rows, stream only for B/C; corrupt
     # rows map no labels at all -> the labels='' dropped bucket
@@ -1633,6 +1688,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collectd_decode": q_collectd_decode,
         "influx_decode": q_influx_decode,
         "prom_text_decode": q_prom_text_decode,
+        "emf_docs": q_emf_docs,
         "loki_streams": q_loki_streams,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,
@@ -1703,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "collectd_decode": ORACLE_COLLECTD,
         "influx_decode": ORACLE_INFLUX,
         "prom_text_decode": ORACLE_PROM_TEXT,
+        "emf_docs": ORACLE_EMF,
         "loki_streams": ORACLE_LOKI,
         "multimodal_decode": ORACLE_MM_DECODE,
         "frame_sample": ORACLE_FRAME_SAMPLE,
