@@ -1591,6 +1591,37 @@ def q_quality_score(spark, sf_dir):
 ORACLE_QUALITY = text_fns.quality_features_sql("documents", "doc_id")
 
 
+def q_repetition_signals(spark, sf_dir):
+    # Gopher-style repetition filters (public Rae et al. 2021 definitions):
+    # the corpus text has no newlines, so a multi-line view is synthesized
+    # by appending a duplicated 40-char prefix — identically in the oracle.
+    docs = _docs(spark, sf_dir).withColumn(
+        "ltext",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+        ),
+    )
+    return text_fns.repetition_features(
+        docs, "doc_id", "text", line_col="ltext", top_n=2, dup_n=3
+    )
+
+
+ORACLE_REPETITION = text_fns.repetition_features_sql(
+    "documents",
+    "doc_id",
+    "text",
+    line_expr=(
+        "text || chr(10) || substr(text, 1, 40) || chr(10) || "
+        "substr(text, 1, 40)"
+    ),
+    top_n=2,
+    dup_n=3,
+)
+
+
 def q_token_count(spark, sf_dir):
     return text_fns.token_counts(_docs(spark, sf_dir)).select(
         "doc_id", "ws_tokens", "subword_tokens"
@@ -1711,6 +1742,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "repetition_signals": q_repetition_signals,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
     }
@@ -1779,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": ORACLE_ANN_TOPK,
         "lang_id": _oracle_lang_id(),
         "quality_score": ORACLE_QUALITY,
+        "repetition_signals": ORACLE_REPETITION,
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
     }

@@ -132,3 +132,184 @@ SELECT {id_col},
     g -> {md5_int_sql('g')})) AS fingerprint
 FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {relation})
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1 quality filters; same definitions as the public
+# RedPajama / NeMo-Curator reimplementations)
+# ---------------------------------------------------------------------------
+
+
+def _all_ngrams_expr(text_col: str, n: int) -> str:
+    """ALL word n-grams (non-distinct, array<string>) — repetition counting
+    needs multiplicity, unlike dedup's word_ngrams_expr."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+# len(gram) < 100k always (docs are split into words); pack (count, len)
+# into one BIGINT so "most-frequent gram, longest on ties" is a plain MAX
+# that both engines order identically.
+_PACK = 100_000
+
+
+def repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_col: str | None = None,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Per-document repetition signals:
+
+      dup_line_frac       (lines - distinct lines) / lines
+      dup_line_char_frac  chars of line occurrences after the first / line chars
+      top_ngram_char_frac chars covered by the most frequent word top_n-gram
+                          (count * gram length / doc chars; ties -> longest)
+      dup_ngram_char_frac chars of ALL occurrences of repeated dup_n-grams
+                          / doc chars (overlapping occurrences each count,
+                          so the ratio can exceed 1 — same convention as the
+                          public reimplementations)
+
+    Scale shape: line features are row-local higher-order functions (no
+    shuffle). N-gram features explode both gram sizes in ONE pass tagged by
+    kind, partial-aggregate on (doc, kind, gram) — map-side combine eats
+    the repetition that is being measured — then re-aggregate per doc and
+    join back to the (narrow) per-doc frame on the id. Two shuffles total,
+    both keyed on hashes that distribute evenly; nothing is quadratic.
+    """
+    line_col = line_col or text_col
+    lines = f"split({line_col}, '\\n')"
+    dlines = f"array_distinct({lines})"
+    chars_of = "(a, x) -> a + length(x)"
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.length(text_col).cast("double").alias("chars"),
+        F.expr(
+            f"(size({lines}) - size({dlines})) / CAST(size({lines}) AS DOUBLE)"
+        ).alias("dup_line_frac"),
+        F.expr(
+            f"(aggregate({lines}, 0L, {chars_of}) -"
+            f" aggregate({dlines}, 0L, {chars_of})) /"
+            f" CAST(nullif(aggregate({lines}, 0L, {chars_of}), 0) AS DOUBLE)"
+        ).alias("dup_line_char_frac"),
+        F.expr(_all_ngrams_expr(text_col, top_n)).alias("__top_grams"),
+        F.expr(_all_ngrams_expr(text_col, dup_n)).alias("__dup_grams"),
+    )
+    tagged = base.select(
+        "doc",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "__top_grams", lambda g: F.struct(F.lit("top").alias("kind"), g.alias("gram"))
+                ),
+                F.transform(
+                    "__dup_grams", lambda g: F.struct(F.lit("dup").alias("kind"), g.alias("gram"))
+                ),
+            )
+        ).alias("kg"),
+    ).select("doc", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+    counts = tagged.groupBy("doc", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.max(F.length("gram")).alias("l")
+    )
+    per_doc = counts.groupBy("doc").agg(
+        F.max(
+            F.when(F.col("kind") == "top", F.col("c") * _PACK + F.col("l"))
+        ).alias("top_key"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("kind") == "dup") & (F.col("c") >= 2),
+                    F.col("c") * F.col("l"),
+                )
+            ),
+            F.lit(0),
+        ).alias("dup_chars"),
+    )
+    out = base.drop("__top_grams", "__dup_grams").join(per_doc, on="doc", how="left")
+    top_chars = (
+        (F.col("top_key") / _PACK).cast("long") * (F.col("top_key") % _PACK)
+    ).cast("double")
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round(F.coalesce(top_chars / F.col("chars"), F.lit(0.0)), 6).alias(
+            "top_ngram_char_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("dup_chars") / F.col("chars"), F.lit(0.0)), 6
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
+def repetition_features_sql(
+    relation: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_expr: str | None = None,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> str:
+    """DuckDB mirror of repetition_features (same packing, same rounding)."""
+    line_expr = line_expr or text_col
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(generate_series(1, len(toks) - {n - 1}),"
+            f" i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))"
+            f" ELSE [] END"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc,
+         CAST(len({text_col}) AS DOUBLE) AS chars,
+         string_split({line_expr}, chr(10)) AS lines,
+         string_split({text_col}, ' ') AS toks
+  FROM {relation}
+),
+linefeat AS (
+  SELECT doc, chars,
+    (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+      AS dup_line_frac,
+    (list_aggregate(list_transform(lines, x -> len(x)), 'sum')
+     - list_aggregate(list_transform(list_distinct(lines), x -> len(x)), 'sum'))
+    / CAST(nullif(list_aggregate(list_transform(lines, x -> len(x)), 'sum'), 0)
+           AS DOUBLE) AS dup_line_char_frac,
+    {grams(top_n)} AS top_grams,
+    {grams(dup_n)} AS dup_grams
+  FROM base
+),
+g AS (
+  SELECT doc, 'top' AS kind, unnest(top_grams) AS gram FROM linefeat
+  UNION ALL
+  SELECT doc, 'dup' AS kind, unnest(dup_grams) AS gram FROM linefeat
+),
+counts AS (
+  SELECT doc, kind, gram, COUNT(*) AS c, MAX(len(gram)) AS l
+  FROM g GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc,
+    MAX(CASE WHEN kind = 'top' THEN c * {_PACK} + l END) AS top_key,
+    COALESCE(SUM(CASE WHEN kind = 'dup' AND c >= 2 THEN c * l END), 0)
+      AS dup_chars
+  FROM counts GROUP BY 1
+)
+SELECT f.doc AS {id_col},
+  ROUND(f.dup_line_frac, 6) AS dup_line_frac,
+  ROUND(f.dup_line_char_frac, 6) AS dup_line_char_frac,
+  ROUND(COALESCE(CAST((p.top_key // {_PACK}) * (p.top_key % {_PACK}) AS DOUBLE)
+                 / f.chars, 0.0), 6) AS top_ngram_char_frac,
+  ROUND(COALESCE(p.dup_chars / f.chars, 0.0), 6) AS dup_ngram_char_frac
+FROM linefeat f LEFT JOIN per_doc p USING (doc)
+"""

@@ -1,0 +1,79 @@
+"""Unit tests for Gopher-style repetition signals (hand-computed values)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from opentelemetry_collector_contrib_spark.functions import text as textfn
+
+
+def test_repetition_features_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a", "x\ny\nx"),
+            (2, "q w e r t", "p\nq"),  # no repeated grams, no dup lines
+            (3, "zz", "zz"),  # fewer tokens than any n: empty gram arrays
+        ],
+        "doc_id long, text string, ltext string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textfn.repetition_features(
+            df, "doc_id", "text", line_col="ltext", top_n=2, dup_n=3
+        ).collect()
+    }
+    r1 = out[1]
+    # lines [x, y, x]: 1 of 3 duplicated, 1 of 3 chars duplicated
+    assert r1["dup_line_frac"] == round(1 / 3, 6)
+    assert r1["dup_line_char_frac"] == round(1 / 3, 6)
+    # 2-grams: 'a b'x2, 'b a'x2 -> top covers 2*3 of 9 chars
+    assert r1["top_ngram_char_frac"] == round(6 / 9, 6)
+    # 3-grams: 'a b a'x2 (overlapping) -> 2*5 of 9 chars, ratio > 1 allowed
+    assert r1["dup_ngram_char_frac"] == round(10 / 9, 6)
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["dup_line_char_frac"] == 0.0
+    # every 2-gram unique: top still covers one gram's chars (1*3 of 9)
+    assert r2["top_ngram_char_frac"] == round(3 / 9, 6)
+    assert r2["dup_ngram_char_frac"] == 0.0
+    r3 = out[3]
+    assert r3["top_ngram_char_frac"] == 0.0 and r3["dup_ngram_char_frac"] == 0.0
+
+
+def test_repetition_features_matches_duckdb_oracle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    with_lines = docs.withColumn(
+        "ltext",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+        ),
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in textfn.repetition_features(
+            with_lines, "doc_id", "text", line_col="ltext"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    sql = textfn.repetition_features_sql(
+        "documents",
+        "doc_id",
+        "text",
+        line_expr=(
+            "text || chr(10) || substr(text, 1, 40) || chr(10) || "
+            "substr(text, 1, 40)"
+        ),
+    )
+    want = {r[0]: tuple(r)[1:] for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    mism = [k for k in got if got[k] != want[k]]
+    assert not mism, (mism[:3], got[mism[0]], want[mism[0]]) if mism else None
