@@ -1227,6 +1227,62 @@ FROM s GROUP BY 3
 """
 
 
+def q_fluentforward_roundtrip(spark, sf_dir):
+    # fluentforward receiver (conversion.go:191-330): every event is framed
+    # on the wire in one of the three protocol modes by row (Message /
+    # Forward / gzip-CompressedPackedForward — all count-preserving with
+    # one entry per frame), decoded back through the msgpack decoder, and
+    # re-aggregated; the oracle recomputes from the raw columns.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from opentelemetry_collector_contrib_spark.sources import fluentforward as ff
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("evt."), "event_type").alias("tag"),
+        F.unix_timestamp(F.col("ts")).alias("secs"),
+        F.col("props").alias("msg"),
+        (F.col("user_id") % 5).cast("string").alias("k"),
+        (F.col("event_id") % 3).alias("mode"),
+    )
+
+    @pandas_udf("binary")
+    def enc(
+        tag: pd.Series, secs: pd.Series, msg: pd.Series, k: pd.Series, mode: pd.Series
+    ) -> pd.Series:
+        out = []
+        for t, s, m, kk, md in zip(tag, secs, msg, k, mode):
+            rec = {"message": m, "k": kk}
+            if md == 0:
+                out.append(ff.encode_message_event(t, int(s), rec))
+            elif md == 1:
+                out.append(ff.encode_forward_event(t, [(int(s), rec)]))
+            else:
+                out.append(
+                    ff.encode_packed_forward_event(t, [(int(s), rec)], compress=True)
+                )
+        return pd.Series(out)
+
+    frames = ev.select(enc("tag", "secs", "msg", "k", "mode").alias("event"))
+    decoded = ff.decode_fluentforward(frames).filter("valid")
+    return decoded.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("body")).alias("body_chars"),
+        F.max(F.col("ts").cast("long")).alias("max_epoch"),
+        F.max(F.col("attrs").getItem("k")).alias("max_k"),
+    )
+
+
+ORACLE_FLUENTFORWARD = """
+SELECT 'evt.' || event_type AS tag,
+       COUNT(*) AS n,
+       CAST(SUM(len(props)) AS BIGINT) AS body_chars,
+       MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch,
+       MAX(CAST(user_id % 5 AS VARCHAR)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def q_emf_docs(spark, sf_dir):
     # awsemf exporter (metric_translator.go:353-391): grouped metrics ->
     # EMF structured-log JSON; parse the emitted documents back and verify
@@ -1719,6 +1775,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collectd_decode": q_collectd_decode,
         "influx_decode": q_influx_decode,
         "prom_text_decode": q_prom_text_decode,
+        "fluentforward_roundtrip": q_fluentforward_roundtrip,
         "emf_docs": q_emf_docs,
         "loki_streams": q_loki_streams,
         # multimodal plumbing
@@ -1791,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         "collectd_decode": ORACLE_COLLECTD,
         "influx_decode": ORACLE_INFLUX,
         "prom_text_decode": ORACLE_PROM_TEXT,
+        "fluentforward_roundtrip": ORACLE_FLUENTFORWARD,
         "emf_docs": ORACLE_EMF,
         "loki_streams": ORACLE_LOKI,
         "multimodal_decode": ORACLE_MM_DECODE,

@@ -422,3 +422,32 @@ def test_prometheus_text_parse(spark):
     assert out["rpc_duration_bucket"]["metric_type"] == "histogram"
     assert out["http_requests_total"]["metric_help"].startswith("Total")
     assert out["minus_inf"]["metric_type"] is None
+
+
+def test_fluentforward_decode_modes(spark):
+    from opentelemetry_collector_contrib_spark.sources import fluentforward as ff
+
+    frames = [
+        ff.encode_message_event(
+            "app", 1700000001, {"message": "m1", "level": "info", "n": 5}
+        ),
+        ff.encode_message_event(
+            "fb", ff.pack_event_time(1700000002, 500000000), {"log": "m2"}
+        ),
+        ff.encode_forward_event("fwd", [(1, {"message": "a"}), (2, {"message": "b"})]),
+        ff.encode_packed_forward_event("pf", [(7, {"log": "x"})], compress=True),
+        b"\x01\x02garbage",
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "event binary")
+    rows = ff.decode_fluentforward(df, "event").collect()
+    ok = [r for r in rows if r["valid"]]
+    bad = [r for r in rows if not r["valid"]]
+    assert len(ok) == 5 and len(bad) == 1
+    by_body = {r["body"]: r for r in ok}
+    assert by_body["m1"]["tag"] == "app"
+    assert by_body["m1"]["attrs"] == {"fluent.tag": "app", "level": "info", "n": "5"}
+    assert by_body["m1"]["ts"].second == 41  # 1700000001 utc = ...:41
+    # EventTime ext carries sub-second precision (timeext.go:46-53)
+    assert by_body["m2"]["ts"].microsecond == 500000
+    assert by_body["a"]["tag"] == "fwd" and by_body["b"]["tag"] == "fwd"
+    assert by_body["x"]["tag"] == "pf"
