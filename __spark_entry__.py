@@ -1247,9 +1247,7 @@ def q_fluentforward_roundtrip(spark, sf_dir):
     )
 
     @pandas_udf("binary")
-    def enc(
-        tag: pd.Series, secs: pd.Series, msg: pd.Series, k: pd.Series, mode: pd.Series
-    ) -> pd.Series:
+    def enc(tag, secs, msg, k, mode):
         out = []
         for t, s, m, kk, md in zip(tag, secs, msg, k, mode):
             rec = {"message": m, "k": kk}

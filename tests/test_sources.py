@@ -446,7 +446,7 @@ def test_fluentforward_decode_modes(spark):
     by_body = {r["body"]: r for r in ok}
     assert by_body["m1"]["tag"] == "app"
     assert by_body["m1"]["attrs"] == {"fluent.tag": "app", "level": "info", "n": "5"}
-    assert by_body["m1"]["ts"].second == 41  # 1700000001 utc = ...:41
+    assert by_body["m1"]["ts"].second == 21  # 1700000001 utc = 22:13:21
     # EventTime ext carries sub-second precision (timeext.go:46-53)
     assert by_body["m2"]["ts"].microsecond == 500000
     assert by_body["a"]["tag"] == "fwd" and by_body["b"]["tag"] == "fwd"
