@@ -1227,6 +1227,56 @@ FROM s GROUP BY 3
 """
 
 
+def q_sumologic_lines(spark, sf_dir):
+    # sumologic exporter line formats (carbon_formatter.go:29-84,
+    # graphite_formatter.go:53-99): every emitted line is compared
+    # byte-identically against a string-constructed oracle, exercising the
+    # two-space carbon2 separator, the _name collision prefix, space/dot
+    # sanitization, and the appended metric=/unit= pairs.
+    from opentelemetry_collector_contrib_spark.sinks import sumologic
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        F.concat(F.lit("r "), (F.col("user_id") % 3).cast("string")).alias("region"),
+        F.col("event_type").alias("name"),
+        F.col("event_type").alias("metric_name"),
+        F.col("user_id").alias("value"),
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.concat(F.lit("dc."), (F.col("user_id") % 2).cast("string")).alias("dc"),
+        F.lit("ms").alias("unit"),
+    )
+    c2 = sumologic.to_carbon2_lines(
+        ev, ["host", "region", "name"], "metric_name", "value", "ts_sec",
+        unit_col="unit",
+    ).select(F.lit("carbon2").alias("fmt"), "line")
+    gr = sumologic.to_graphite_lines(
+        ev, ["metric_name", "dc", "host"], "value", "ts_sec"
+    ).select(F.lit("graphite").alias("fmt"), "line")
+    return c2.unionByName(gr)
+
+
+ORACLE_SUMOLOGIC = """
+WITH s AS (
+  SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+         'r_' || CAST(user_id % 3 AS VARCHAR) AS region_s,
+         event_type,
+         CAST(user_id AS VARCHAR) AS val,
+         CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS VARCHAR)
+           AS ts_sec,
+         'dc_' || CAST(user_id % 2 AS VARCHAR) AS dc_esc
+  FROM events
+)
+SELECT 'carbon2' AS fmt,
+  'host=' || host || ' region=' || region_s || ' _name=' || event_type ||
+  ' metric=' || event_type || ' unit=ms  ' || val || ' ' || ts_sec AS line
+FROM s
+UNION ALL
+SELECT 'graphite',
+  event_type || '.' || dc_esc || '.' || host || ' ' || val || ' ' || ts_sec
+FROM s
+"""
+
+
 def q_fluentforward_roundtrip(spark, sf_dir):
     # fluentforward receiver (conversion.go:191-330): every event is framed
     # on the wire in one of the three protocol modes by row (Message /
@@ -1774,6 +1824,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influx_decode": q_influx_decode,
         "prom_text_decode": q_prom_text_decode,
         "fluentforward_roundtrip": q_fluentforward_roundtrip,
+        "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
         "loki_streams": q_loki_streams,
         # multimodal plumbing
@@ -1847,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "influx_decode": ORACLE_INFLUX,
         "prom_text_decode": ORACLE_PROM_TEXT,
         "fluentforward_roundtrip": ORACLE_FLUENTFORWARD,
+        "sumologic_lines": ORACLE_SUMOLOGIC,
         "emf_docs": ORACLE_EMF,
         "loki_streams": ORACLE_LOKI,
         "multimodal_decode": ORACLE_MM_DECODE,

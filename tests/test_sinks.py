@@ -45,3 +45,24 @@ def test_emf_no_rollup(spark):
         ]
     )
     assert doc["_aws"]["CloudWatchMetrics"][0]["Dimensions"] == [["k"]]
+
+
+def test_sumologic_carbon2_and_graphite(spark):
+    from opentelemetry_collector_contrib_spark.sinks import sumologic
+
+    df = spark.createDataFrame(
+        [("h 1", "a=b", "req count", 7, 1700000000, "x.y", "ms")],
+        "host string, name string, metric_name string, value long,"
+        " ts_sec long, dc string, unit string",
+    )
+    (c2,) = sumologic.to_carbon2_lines(
+        df, ["host", "name"], "metric_name", "value", "ts_sec", unit_col="unit"
+    ).collect()
+    # space sanitized in values, '=' becomes ':', 'name' key prefixed,
+    # metric name sanitized, TWO spaces before value
+    assert c2["line"] == "host=h_1 _name=a:b metric=req_count unit=ms  7 1700000000"
+    (gr,) = sumologic.to_graphite_lines(
+        df, ["metric_name", "dc", "host"], "value", "ts_sec"
+    ).collect()
+    # graphite escapes '.' and ' ' to '_' in each field
+    assert gr["line"] == "req_count.x_y.h_1 7 1700000000"
