@@ -22,7 +22,7 @@ from opentelemetry_collector_contrib_spark import synth
 from opentelemetry_collector_contrib_spark.functions import multimodal
 from opentelemetry_collector_contrib_spark.functions import parse as parse_fns
 from opentelemetry_collector_contrib_spark.functions import text as text_fns
-from opentelemetry_collector_contrib_spark.sinks import loki
+from opentelemetry_collector_contrib_spark.sinks import awsxray, loki
 from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
 from opentelemetry_collector_contrib_spark.sources import text as src_text
 from opentelemetry_collector_contrib_spark.operators import (
@@ -32,6 +32,7 @@ from opentelemetry_collector_contrib_spark.operators import (
     groupbytrace,
     loadbalancing,
     metricstransform,
+    signalfx,
     similarity,
     spanmetrics,
     statsd,
@@ -1746,6 +1747,263 @@ def q_doc_fingerprint(spark, sf_dir):
 ORACLE_FINGERPRINT = text_fns.doc_fingerprint_sql("documents", "doc_id")
 
 
+def _sfx_datapoints(spark, sf_dir):
+    # events -> SignalFx-shaped datapoints (metric, dims map, int/double value)
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.concat(F.lit("app."), "event_type").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("host"), F.lit("shard"), F.lit("env")),
+            F.array(
+                F.concat(F.lit("h"), (F.col("user_id") % 5)),
+                (F.col("event_id") % 3).cast("string"),
+                F.when(F.col("user_id") % 2 == 0, "prod").otherwise("dev"),
+            ),
+        ).alias("dims"),
+        (F.col("event_id") % 1000).alias("value_int"),
+        F.round("value", 2).alias("value_double"),
+        F.lit("COUNTER").alias("metric_type"),
+        F.col("event_id").alias("ts"),
+    )
+
+
+_XRAY_BASE = 1700000000
+_XRAY_NOW = _XRAY_BASE + 3600
+
+
+def q_xray_segments(spark, sf_dir):
+    # events -> spans exercising the MakeSegment naming ladder, error/fault/
+    # throttle classification, origin detection, trace-id age gate and
+    # subsegment typing (sinks/awsxray.py cites the reference lines).
+    ev = _events(spark, sf_dir)
+    u = F.col("user_id")
+    eid = F.col("event_id")
+    et = F.col("event_type")
+    epoch = F.when(eid % 97 == 0, F.lit(_XRAY_BASE - 2500000)) \
+             .otherwise(F.lit(_XRAY_BASE) + eid % 3600)
+    md5_e = F.md5(eid.cast("string").cast("binary"))
+    kind = F.when(u % 3 == 0, "SERVER").when(u % 3 == 1, "CLIENT") \
+            .otherwise("INTERNAL")
+
+    def kv(key, val):
+        return F.struct(F.lit(key).alias("key"), val.alias("value"))
+
+    attrs = F.map_from_entries(F.filter(F.array(
+        kv("http.method", F.when(et.isin("click", "view"), "GET")),
+        kv("http.status_code",
+           F.when(et == "error", (F.lit(400) + eid % 150).cast("string"))
+            .when(et.isin("click", "view"), F.lit("200"))),
+        kv("http.scheme", F.when(et == "click", "https")),
+        kv("http.host", F.when(et == "click", F.concat(F.lit("www.ex"), u % 10))),
+        kv("http.target", F.when(et == "click", F.concat(F.lit("/p/"), eid % 7))),
+        kv("net.peer.name", F.when(et == "view", F.concat(F.lit("peer"), u % 4))),
+        kv("peer.service", F.when(et == "signup", F.concat(F.lit("svc"), u % 5))),
+        kv("aws.service", F.when((et == "purchase") & (u % 2 == 0), "S3")),
+        kv("db.name",
+           F.when((et == "purchase") & (u % 2 == 1), F.concat(F.lit("db"), u % 3))),
+        kv("db.connection_string",
+           F.when((et == "purchase") & (u % 2 == 1),
+                  F.concat(F.lit("postgres://app@dbhost"), u % 3,
+                           F.lit(".example:5432/x")))),
+        kv("enduser.id", F.when(et == "signup", F.concat(F.lit("u"), u))),
+    ), lambda e: e["value"].isNotNull()))
+    resource = F.map_from_entries(F.filter(F.array(
+        kv("service.name", F.lit("websvc")),
+        kv("cloud.provider", F.when(u % 4 < 2, "aws").when(u % 4 == 2, "gcp")),
+        kv("cloud.platform",
+           F.when(u % 4 == 0, "EKS").when(u % 4 == 2, "EC2")),
+        kv("container.name", F.when(u % 4 == 1, "c1")),
+        kv("host.id", F.when(u % 4 == 3, "h1")),
+    ), lambda e: e["value"].isNotNull()))
+    spans = ev.select(
+        F.concat(F.format_string("%08x", epoch), F.substring(md5_e, 1, 24))
+         .alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), eid.cast("string")).cast("binary")),
+                    1, 16).alias("span_id"),
+        F.when(eid % 2 == 1, "abcd").otherwise("").alias("parent_span_id"),
+        F.concat(F.lit("evt-"), et, F.lit("!")).alias("name"),
+        kind.alias("kind"),
+        F.when(et == "error", "ERROR").otherwise("OK").alias("status_code"),
+        (eid.cast("double") / 1000).alias("start_ts"),
+        (eid.cast("double") / 1000 + 0.5).alias("end_ts"),
+        attrs.alias("attrs"),
+        resource.alias("resource"),
+    )
+    seg = awsxray.make_segments(spans, _XRAY_NOW)
+    return seg.select("id", "trace_id", "name", "namespace", "type",
+                      "error", "fault", "throttle", "origin",
+                      F.col("http.request.url").alias("url"))
+
+
+ORACLE_XRAY = f"""
+WITH base AS (
+  SELECT event_id AS eid, user_id AS u, event_type AS et,
+         CASE WHEN user_id % 3 = 0 THEN 'SERVER'
+              WHEN user_id % 3 = 1 THEN 'CLIENT' ELSE 'INTERNAL' END AS kind,
+         event_id % 2 = 1 AS has_parent
+  FROM events WHERE event_id % 97 <> 0          -- stale trace-id epoch dropped
+), attrs AS (
+  SELECT *,
+         CASE WHEN et = 'signup' THEN 'svc' || CAST(u % 5 AS VARCHAR) END AS peer_service,
+         CASE WHEN et = 'purchase' AND u % 2 = 0 THEN 'S3' END AS aws_service,
+         CASE WHEN et = 'purchase' AND u % 2 = 1
+              THEN 'db' || CAST(u % 3 AS VARCHAR) || '@dbhost'
+                   || CAST(u % 3 AS VARCHAR) || '.example' END AS db_full,
+         CASE WHEN et = 'click' THEN 'www.ex' || CAST(u % 10 AS VARCHAR) END AS http_host,
+         CASE WHEN et = 'view' THEN 'peer' || CAST(u % 4 AS VARCHAR) END AS peer_name,
+         CASE WHEN et = 'error' THEN 400 + eid % 150
+              WHEN et IN ('click','view') THEN 200 END AS http_status,
+         et IN ('click','view') AS has_method
+  FROM base
+)
+SELECT substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS id,
+       '1-' || printf('%08x', {_XRAY_BASE} + eid % 3600) || '-'
+            || substr(md5(CAST(eid AS VARCHAR)), 1, 24) AS trace_id,
+       COALESCE(peer_service, aws_service, db_full,
+                CASE WHEN kind = 'SERVER' THEN 'websvc' END,
+                http_host, peer_name, 'evt-' || et) AS name,
+       CASE WHEN peer_service IS NULL AND aws_service IS NOT NULL THEN 'aws'
+            WHEN kind = 'CLIENT' THEN 'remote' END AS namespace,
+       CASE WHEN kind <> 'SERVER' AND has_parent THEN 'subsegment' END AS type,
+       et = 'error' AND http_status BETWEEN 400 AND 499 AS error,
+       et = 'error' AND NOT http_status BETWEEN 400 AND 499 AS fault,
+       et = 'error' AND http_status = 429 AS throttle,
+       CASE WHEN u % 4 = 0 THEN 'AWS::EKS::Container'
+            WHEN u % 4 = 1 THEN 'AWS::ECS::Container'
+            WHEN u % 4 = 3 THEN 'AWS::EC2::Instance' END AS origin,
+       -- URL assembly armed only by http.host here (click rows); view rows
+       -- carry just net.peer.name, which does not arm it (http.go:89-90)
+       CASE WHEN et = 'click'
+              THEN 'https://www.ex' || CAST(u % 10 AS VARCHAR)
+                   || '/p/' || CAST(eid % 7 AS VARCHAR)
+       END AS url
+FROM attrs
+"""
+
+
+def q_signalfx_translate(spark, sf_dir):
+    # Chains 9 of the 13 translator.go actions end-to-end; see
+    # operators/signalfx.py docstring for per-action reference lines.
+    dps = _sfx_datapoints(spark, sf_dir)
+    out = signalfx.translate_datapoints(dps, [
+        {"action": "rename_dimension_keys", "mapping": {"host": "host_name"}},
+        {"action": "rename_metrics", "mapping": {"app.error": "app.failures"},
+         "add_dimensions": {"source": "otel"}},
+        {"action": "multiply_float", "scale_factors_float": {"app.purchase": 2.0}},
+        {"action": "divide_int", "scale_factors_int": {"app.signup": 4}},
+        {"action": "convert_values", "types_mapping": {"app.purchase": "int"}},
+        {"action": "split_metric", "metric_name": "app.failures",
+         "dimension_key": "env", "mapping": {"prod": "app.failures.prod"}},
+        {"action": "drop_dimensions", "dimension_pairs": {"shard": []}},
+        {"action": "copy_metrics", "mapping": {"app.failures.prod": "slo.failures"}},
+        {"action": "drop_metrics", "metric_names": ["app.click"]},
+        {"action": "aggregate_metric", "metric_name": "slo.failures",
+         "aggregation_method": "sum",
+         "without_dimensions": ["host_name", "source"]},
+    ])
+    out = signalfx.dims_fingerprint(out)
+    # decimal-cast before summing: exact, order-independent addition so the
+    # distributed sum is bit-identical to DuckDB's sequential one
+    return (out.groupBy("metric", "dims_str")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value_int").alias("sum_int"),
+                    F.sum(F.col("value_double").cast("decimal(18,2)"))
+                     .cast("double").alias("sum_double")))
+
+
+ORACLE_SFX_TRANSLATE = """
+WITH base AS (
+  SELECT 'app.' || event_type AS metric,
+         'h' || CAST(user_id % 5 AS VARCHAR) AS host_name,   -- rule 1 renames host
+         CAST(event_id % 3 AS VARCHAR) AS shard,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS env,
+         event_id % 1000 AS vi,
+         ROUND(value, 2) AS vd,
+         event_id AS ts
+  FROM events
+), renamed AS (                                  -- rules 2-5
+  SELECT CASE WHEN metric = 'app.error' THEN 'app.failures' ELSE metric END AS metric,
+         host_name, shard, env,
+         CASE WHEN metric = 'app.error' THEN 'otel' END AS source,
+         CASE WHEN metric = 'app.signup' THEN vi // 4
+              WHEN metric = 'app.purchase' THEN CAST(TRUNC(vd * 2.0) AS BIGINT)
+              ELSE vi END AS vi,
+         CASE WHEN metric = 'app.purchase' THEN NULL ELSE vd END AS vd,
+         ts
+  FROM base
+), split AS (                                    -- rule 6: split app.failures by env=prod
+  SELECT CASE WHEN metric = 'app.failures' AND env = 'prod'
+              THEN 'app.failures.prod' ELSE metric END AS metric,
+         host_name,
+         CASE WHEN metric = 'app.failures' AND env = 'prod' THEN NULL
+              ELSE env END AS env,
+         source, vi, vd, ts
+  FROM renamed
+), dropped AS (                                  -- rules 7+9: drop shard dim, app.click
+  SELECT metric, host_name, env, source, vi, vd, ts
+  FROM split WHERE metric <> 'app.click'
+), copied AS (                                   -- rule 8: copy to slo.failures
+  SELECT * FROM dropped
+  UNION ALL
+  SELECT 'slo.failures', host_name, env, source, vi, vd, ts
+  FROM dropped WHERE metric = 'app.failures.prod'
+), aggregated AS (                               -- rule 10: sum without host/source
+  SELECT metric, NULL AS host_name, env, NULL AS source,
+         SUM(vi) AS vi, SUM(vd) AS vd, ts
+  FROM copied WHERE metric = 'slo.failures'
+  GROUP BY metric, env, ts
+  UNION ALL
+  SELECT * FROM copied WHERE metric <> 'slo.failures'
+), rendered AS (
+  -- stringifyDimensions: sorted k:v//k:v; key order env < host_name < source
+  SELECT metric,
+         COALESCE(ARRAY_TO_STRING(LIST_FILTER([
+           CASE WHEN env IS NOT NULL THEN 'env:' || env END,
+           CASE WHEN host_name IS NOT NULL THEN 'host_name:' || host_name END,
+           CASE WHEN source IS NOT NULL THEN 'source:' || source END
+         ], x -> x IS NOT NULL), '//'), '') AS dims_str,
+         vi, vd
+  FROM aggregated
+)
+SELECT metric, dims_str, COUNT(*) AS n,
+       SUM(vi) AS sum_int,
+       CAST(SUM(CAST(vd AS DECIMAL(18,2))) AS DOUBLE) AS sum_double
+FROM rendered GROUP BY 1, 2
+"""
+
+
+def q_signalfx_delta(spark, sf_dir):
+    # delta_translator.go: per-series delta with reset + first-point-skip
+    dps = _sfx_datapoints(spark, sf_dir)
+    out = signalfx.delta_metric(dps, {"app.view": "app.view.delta"})
+    return (out.filter(F.col("metric") == "app.view.delta")
+               .select("metric",
+                       F.element_at("dims", "host").alias("host"),
+                       F.element_at("dims", "shard").alias("shard"),
+                       F.element_at("dims", "env").alias("env"),
+                       "ts", "value_int", "metric_type"))
+
+
+ORACLE_SFX_DELTA = """
+WITH base AS (
+  SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+         CAST(event_id % 3 AS VARCHAR) AS shard,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS env,
+         event_id % 1000 AS vi,
+         event_id AS ts
+  FROM events WHERE event_type = 'view'
+), lagged AS (
+  SELECT host, shard, env, ts, vi,
+         LAG(vi) OVER (PARTITION BY host, shard, env ORDER BY ts) AS prev
+  FROM base
+)
+SELECT 'app.view.delta' AS metric, host, shard, env, ts,
+       CASE WHEN vi - prev < 0 THEN vi ELSE vi - prev END AS value_int,
+       'GAUGE' AS metric_type
+FROM lagged WHERE prev IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1816,6 +2074,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metricstransform_label_values": q_metricstransform_label_values,
         "metricstransform_combine": q_metricstransform_combine,
         "metricstransform_ops": q_metricstransform_ops,
+        "signalfx_translate": q_signalfx_translate,
+        "signalfx_delta": q_signalfx_delta,
+        "xray_segments": q_xray_segments,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
@@ -1890,6 +2151,9 @@ def oracle_sql() -> dict[str, str]:
         "metricstransform_label_values": ORACLE_MT_LABEL_VALUES,
         "metricstransform_combine": ORACLE_MT_COMBINE,
         "metricstransform_ops": ORACLE_MT_OPS,
+        "signalfx_translate": ORACLE_SFX_TRANSLATE,
+        "signalfx_delta": ORACLE_SFX_DELTA,
+        "xray_segments": ORACLE_XRAY,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,
