@@ -22,7 +22,7 @@ from opentelemetry_collector_contrib_spark import synth
 from opentelemetry_collector_contrib_spark.functions import multimodal
 from opentelemetry_collector_contrib_spark.functions import parse as parse_fns
 from opentelemetry_collector_contrib_spark.functions import text as text_fns
-from opentelemetry_collector_contrib_spark.sinks import awsxray, loki
+from opentelemetry_collector_contrib_spark.sinks import awsxray, datadog, loki
 from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
 from opentelemetry_collector_contrib_spark.sources import text as src_text
 from opentelemetry_collector_contrib_spark.operators import (
@@ -1767,6 +1767,99 @@ def _sfx_datapoints(spark, sf_dir):
     )
 
 
+def q_datadog_metrics(spark, sf_dir):
+    # Exercises the three non-trivial datadog mappers (sinks/datadog.py):
+    # histogram -> .count/.sum/.count_per_bucket, summary -> quantile tags
+    # with OpenMetrics canonical-number quirks, cumulative monotonic ->
+    # per-series deltas with reset suppression.
+    ev = _events(spark, sf_dir)
+    et = F.col("event_type")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    dec = F.col("value").cast("decimal(18,2)")
+    hist = (ev.withColumn("day", day)
+              .groupBy("event_type", "day")
+              .agg(F.count(F.lit(1)).alias("count"),
+                   F.sum(dec).cast("double").alias("sum"),
+                   F.sum(F.when(F.col("value") < 50, 1).otherwise(0)).alias("b0"),
+                   F.sum(F.when((F.col("value") >= 50) & (F.col("value") < 150), 1)
+                          .otherwise(0)).alias("b1"),
+                   F.sum(F.when(F.col("value") >= 150, 1).otherwise(0)).alias("b2"))
+              .select(F.lit("lat").alias("name"),
+                      F.create_map(F.lit("service"), et).alias("labels"),
+                      F.col("day").alias("ts"), "count", "sum",
+                      F.array("b0", "b1", "b2").alias("bucket_counts")))
+    qlen = F.length(et).cast("double")
+    summ = (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("count"),
+                   F.sum(dec).cast("double").alias("sum"))
+              .select(F.lit("rt").alias("name"),
+                      F.create_map(F.lit("service"), et).alias("labels"),
+                      F.lit(0).cast("long").alias("ts"), "count", "sum",
+                      F.array(*[
+                          F.struct(F.lit(q).cast("double").alias("quantile"),
+                                   (F.lit(q * 100) + qlen).alias("value"))
+                          for q in (0.0, 0.5, 0.99, 1.0)
+                      ]).alias("quantile_values")))
+    mono = ev.select(
+        F.lit("bytes.total").alias("name"),
+        F.create_map(F.lit("service"), et,
+                     F.lit("shard"), (F.col("user_id") % 2).cast("string"))
+         .alias("labels"),
+        F.col("event_id").alias("ts"),
+        (F.col("event_id") % 5000).alias("value"))
+    out = (datadog.map_histograms(hist, buckets=True)
+           .unionByName(datadog.map_summaries(summ, quantiles=True))
+           .unionByName(datadog.map_monotonic(mono)))
+    return datadog.render_tags(out).select(
+        "metric", "tags_str", "metric_type", "ts", "value")
+
+
+ORACLE_DATADOG = """
+WITH hist AS (
+  SELECT event_type AS et,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+         CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+         CAST(SUM(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+         CAST(SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS DOUBLE) AS b2
+  FROM events GROUP BY 1, 2
+), summ AS (
+  SELECT event_type AS et, CAST(COUNT(*) AS DOUBLE) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm
+  FROM events GROUP BY 1
+), mono AS (
+  SELECT event_type AS et, CAST(user_id % 2 AS VARCHAR) AS shard,
+         event_id AS ts, event_id % 5000 AS v,
+         LAG(event_id % 5000) OVER (
+           PARTITION BY event_type, user_id % 2 ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT 'lat.count' AS metric, 'service:' || et AS tags_str,
+       'gauge' AS metric_type, day AS ts, cnt AS value FROM hist
+UNION ALL
+SELECT 'lat.sum', 'service:' || et, 'gauge', day, sm FROM hist
+UNION ALL
+SELECT 'lat.count_per_bucket', 'bucket_idx:' || CAST(i AS VARCHAR) || ',service:' || et,
+       'gauge', day, CASE i WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END
+FROM hist, (VALUES (0), (1), (2)) AS bidx(i)
+UNION ALL
+SELECT 'rt.count', 'service:' || et, 'gauge', 0, cnt FROM summ
+UNION ALL
+SELECT 'rt.sum', 'service:' || et, 'gauge', 0, sm FROM summ
+UNION ALL
+SELECT 'rt.quantile',
+       'quantile:' || CASE q WHEN 0.0 THEN '0' WHEN 1.0 THEN '1.0'
+                             ELSE CAST(CAST(q AS DOUBLE) AS VARCHAR) END || ',service:' || et,
+       'gauge', 0, q * 100 + LENGTH(et)
+FROM summ, (VALUES (0.0), (0.5), (0.99), (1.0)) AS qs(q)
+UNION ALL
+SELECT 'bytes.total', 'service:' || et || ',shard:' || shard, 'count', ts,
+       CAST(v - prev AS DOUBLE)
+FROM mono WHERE prev IS NOT NULL AND v - prev >= 0
+"""
+
+
 _XRAY_BASE = 1700000000
 _XRAY_NOW = _XRAY_BASE + 3600
 
@@ -2077,6 +2170,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signalfx_translate": q_signalfx_translate,
         "signalfx_delta": q_signalfx_delta,
         "xray_segments": q_xray_segments,
+        "datadog_metrics": q_datadog_metrics,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
@@ -2154,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "signalfx_translate": ORACLE_SFX_TRANSLATE,
         "signalfx_delta": ORACLE_SFX_DELTA,
         "xray_segments": ORACLE_XRAY,
+        "datadog_metrics": ORACLE_DATADOG,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,
