@@ -32,6 +32,7 @@ from opentelemetry_collector_contrib_spark.operators import (
     groupbytrace,
     loadbalancing,
     metricstransform,
+    qsketch,
     signalfx,
     similarity,
     spanmetrics,
@@ -1767,6 +1768,26 @@ def _sfx_datapoints(spark, sf_dir):
     )
 
 
+def q_qsketch_build(spark, sf_dir):
+    # Mergeable log2 quantile sketch over events.value per event_type
+    # (operators/qsketch.py; integer-exact bucketing, no float log).
+    return qsketch.sketch_build(_events(spark, sf_dir), ["event_type"], "value")
+
+
+ORACLE_QSKETCH_BUILD = qsketch.sketch_build_oracle_sql(
+    "events", ["event_type"], "value")
+
+
+def q_qsketch_quantile(spark, sf_dir):
+    sk = qsketch.sketch_build(_events(spark, sf_dir), ["event_type"], "value")
+    return qsketch.sketch_quantile(sk, ["event_type"], 0.95)
+
+
+ORACLE_QSKETCH_QUANTILE = qsketch.sketch_quantile_oracle_sql(
+    qsketch.sketch_build_oracle_sql("events", ["event_type"], "value"),
+    ["event_type"], 0.95)
+
+
 def q_datadog_metrics(spark, sf_dir):
     # Exercises the three non-trivial datadog mappers (sinks/datadog.py):
     # histogram -> .count/.sum/.count_per_bucket, summary -> quantile tags
@@ -2171,6 +2192,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signalfx_delta": q_signalfx_delta,
         "xray_segments": q_xray_segments,
         "datadog_metrics": q_datadog_metrics,
+        "qsketch_build": q_qsketch_build,
+        "qsketch_quantile": q_qsketch_quantile,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
@@ -2249,6 +2272,8 @@ def oracle_sql() -> dict[str, str]:
         "signalfx_delta": ORACLE_SFX_DELTA,
         "xray_segments": ORACLE_XRAY,
         "datadog_metrics": ORACLE_DATADOG,
+        "qsketch_build": ORACLE_QSKETCH_BUILD,
+        "qsketch_quantile": ORACLE_QSKETCH_QUANTILE,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,
