@@ -2080,7 +2080,7 @@ WITH base AS (
   FROM aggregated
 )
 SELECT metric, dims_str, COUNT(*) AS n,
-       SUM(vi) AS sum_int,
+       CAST(SUM(vi) AS BIGINT) AS sum_int,
        CAST(SUM(CAST(vd AS DECIMAL(18,2))) AS DOUBLE) AS sum_double
 FROM rendered GROUP BY 1, 2
 """

@@ -59,6 +59,11 @@ HEADLINE_QUERIES = [
     # wire-format decoders (pure JVM map stages)
     "carbon_roundtrip",
     "influx_decode",
+    # exporter translators + sketch (closed-form column chains)
+    "signalfx_translate",
+    "xray_segments",
+    "datadog_metrics",
+    "qsketch_quantile",
 ]
 
 

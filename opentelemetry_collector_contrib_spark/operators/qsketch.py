@@ -119,7 +119,7 @@ ranked AS (
   FROM ranked
   WHERE cum >= GREATEST(CAST(CEIL({q} * total) AS BIGINT), 1)
 )
-SELECT {ks}, MAX(total) AS n, MIN(bucket) AS bucket,
+SELECT {ks}, CAST(MAX(total) AS BIGINT) AS n, MIN(bucket) AS bucket,
        CASE WHEN MIN(bucket) < 0 THEN 0.0
             ELSE 3.0 * POWER(2.0, MIN(bucket) - 1) / {scale} END AS quantile_est
 FROM hit GROUP BY {ks}
