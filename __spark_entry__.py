@@ -22,7 +22,7 @@ from opentelemetry_collector_contrib_spark import synth
 from opentelemetry_collector_contrib_spark.functions import multimodal
 from opentelemetry_collector_contrib_spark.functions import parse as parse_fns
 from opentelemetry_collector_contrib_spark.functions import text as text_fns
-from opentelemetry_collector_contrib_spark.sinks import awsxray, datadog, loki
+from opentelemetry_collector_contrib_spark.sinks import awsxray, datadog, honeycomb, loki
 from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
 from opentelemetry_collector_contrib_spark.sources import text as src_text
 from opentelemetry_collector_contrib_spark.operators import (
@@ -1768,6 +1768,72 @@ def _sfx_datapoints(spark, sf_dir):
     )
 
 
+def q_honeycomb_events(spark, sf_dir):
+    # events -> spans exercising the honeycomb translation: short/long
+    # trace-id form, kind mapping, sampleRate attribute, attr-over-resource
+    # field precedence, empty-string omissions (sinks/honeycomb.py).
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    md5_e = F.md5(eid.cast("string").cast("binary"))
+    tid = F.when(u % 2 == 0,
+                 F.concat(F.lit("0" * 16), F.substring(md5_e, 1, 16))) \
+           .otherwise(F.substring(md5_e, 1, 32))
+    kind = (F.when(u % 6 == 0, "SERVER").when(u % 6 == 1, "CLIENT")
+             .when(u % 6 == 2, "PRODUCER").when(u % 6 == 3, "CONSUMER")
+             .when(u % 6 == 4, "INTERNAL").otherwise("UNSPECIFIED"))
+    attrs = F.when(
+        eid % 2 == 0,
+        F.create_map(F.lit("sampleRate"), (F.lit(1) + eid % 7).cast("string"),
+                     F.lit("color"), et),
+    ).otherwise(F.create_map(F.lit("color"), et))
+    spans = ev.select(
+        tid.alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), eid.cast("string")).cast("binary")),
+                    1, 16).alias("span_id"),
+        F.when(eid % 3 == 0, "").otherwise("beef").alias("parent_span_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        kind.alias("kind"),
+        F.when(et == "error", "ERROR").otherwise("OK").alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        (eid.cast("double") / 1000).alias("start_ts"),
+        (eid.cast("double") / 1000 + (eid % 250).cast("double") / 1000)
+         .alias("end_ts"),
+        attrs.alias("attrs"),
+        F.create_map(F.lit("service.name"), F.lit("websvc"),
+                     F.lit("color"), F.lit("resource-col")).alias("resource"),
+        F.when(u % 2 == 0, "otel-sdk").otherwise("").alias("library_name"),
+        F.when(u % 2 == 0, "1.2").otherwise("").alias("library_version"),
+    )
+    out = honeycomb.to_events(spans, sample_rate_attr="sampleRate")
+    return out.select(
+        "trace_id", "span_id", "parent_id", "name", "duration_ms",
+        "span_kind", "status_code", "status_message", "library_name",
+        "samplerate",
+        F.element_at("fields", "color").alias("color"),
+        F.element_at("fields", "service.name").alias("svc"))
+
+
+ORACLE_HONEYCOMB = """
+SELECT CASE WHEN user_id % 2 = 0 THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 16)
+            ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 32) END AS trace_id,
+       substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+       CASE WHEN event_id % 3 <> 0 THEN 'beef' END AS parent_id,
+       'evt-' || event_type AS name,
+       (CAST(event_id AS DOUBLE)/1000 + CAST(event_id % 250 AS DOUBLE)/1000
+        - CAST(event_id AS DOUBLE)/1000) * 1000 AS duration_ms,
+       CASE user_id % 6 WHEN 0 THEN 'server' WHEN 1 THEN 'client'
+            WHEN 2 THEN 'producer' WHEN 3 THEN 'consumer'
+            WHEN 4 THEN 'internal' ELSE 'unspecified' END AS span_kind,
+       CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'OK' END AS status_code,
+       CASE WHEN event_type = 'error' THEN 'boom' ELSE '' END AS status_message,
+       CASE WHEN user_id % 2 = 0 THEN 'otel-sdk' END AS library_name,
+       CASE WHEN event_id % 2 = 0 THEN 1 + event_id % 7 ELSE 1 END AS samplerate,
+       event_type AS color,          -- span attr wins over resource 'color'
+       'websvc' AS svc
+FROM events
+"""
+
+
 def q_qsketch_build(spark, sf_dir):
     # Mergeable log2 quantile sketch over events.value per event_type
     # (operators/qsketch.py; integer-exact bucketing, no float log).
@@ -2194,6 +2260,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datadog_metrics": q_datadog_metrics,
         "qsketch_build": q_qsketch_build,
         "qsketch_quantile": q_qsketch_quantile,
+        "honeycomb_events": q_honeycomb_events,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
@@ -2274,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "datadog_metrics": ORACLE_DATADOG,
         "qsketch_build": ORACLE_QSKETCH_BUILD,
         "qsketch_quantile": ORACLE_QSKETCH_QUANTILE,
+        "honeycomb_events": ORACLE_HONEYCOMB,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,
