@@ -22,7 +22,9 @@ from opentelemetry_collector_contrib_spark import synth
 from opentelemetry_collector_contrib_spark.functions import multimodal
 from opentelemetry_collector_contrib_spark.functions import parse as parse_fns
 from opentelemetry_collector_contrib_spark.functions import text as text_fns
-from opentelemetry_collector_contrib_spark.sinks import awsxray, datadog, honeycomb, loki
+from opentelemetry_collector_contrib_spark.sinks import (
+    awsxray, datadog, dynatrace, honeycomb, loki,
+)
 from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
 from opentelemetry_collector_contrib_spark.sources import text as src_text
 from opentelemetry_collector_contrib_spark.operators import (
@@ -1768,6 +1770,69 @@ def _sfx_datapoints(spark, sf_dir):
     )
 
 
+def q_dynatrace_lines(spark, sf_dir):
+    # Gauge + histogram ingest lines (sinks/dynatrace.py): name/key
+    # normalization, quote-then-backslash value escaping, and the
+    # bug-faithful %.6f + trim-[0.]-suffix float rendering.
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    name = dynatrace.normalize_string(
+        F.concat(F.lit("evt "), et, F.lit(".count!!")), 250)
+    labels = F.create_map(
+        F.lit("Host Name"), F.concat(F.lit('h"'), (u % 5).cast("string")),
+        F.lit("Day"), (eid % 3).cast("string"))
+    gauges = ev.select(name.alias("name"), labels.alias("labels"),
+                       F.round("value", 2).alias("value"),
+                       eid.alias("ts_ms"))
+    g_lines = dynatrace.serialize_gauge_lines(gauges)
+    hist = (ev.groupBy("event_type", (eid % 3).alias("day"))
+              .agg(F.count(F.lit(1)).alias("count"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("sum"))
+              .select(dynatrace.normalize_string(
+                          F.concat(F.lit("evt "), F.col("event_type"),
+                                   F.lit(".latency!!")), 250).alias("name"),
+                      F.create_map(F.lit("Day"),
+                                   F.col("day").cast("string")).alias("labels"),
+                      "count", "sum", F.col("day").alias("ts_ms")))
+    h_lines = dynatrace.serialize_histogram_lines(hist)
+    return g_lines.unionByName(h_lines)
+
+
+ORACLE_DYNATRACE = r"""
+WITH esc AS (
+  SELECT 'evt_' || event_type || '.count' AS name,
+         'day="' || CAST(event_id % 3 AS VARCHAR) || '",host_name="'
+           || replace(replace('h"' || CAST(user_id % 5 AS VARCHAR),
+                              '"', '\"'), '\', '\\') || '"' AS tags,
+         ROUND(value, 2) AS v, event_id AS ts
+  FROM events
+), g AS (
+  SELECT name || ',' || tags || ' ' ||
+         CASE WHEN regexp_replace(printf('%.6f', v), '[0.]+$', '') = ''
+              THEN '0'
+              ELSE regexp_replace(printf('%.6f', v), '[0.]+$', '') END
+         || ' ' || CAST(ts AS VARCHAR) AS line
+  FROM esc
+), hsrc AS (
+  SELECT 'evt_' || event_type || '.latency' AS name,
+         CAST(event_id % 3 AS VARCHAR) AS day,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT name || ',day="' || day || '" gauge,min='
+         || regexp_replace(printf('%.6f', round(sm / cnt, 4)), '[0.]+$', '')
+         || ',max=' || regexp_replace(printf('%.6f', round(sm / cnt, 4)), '[0.]+$', '')
+         || ',sum=' || regexp_replace(printf('%.6f', sm), '[0.]+$', '')
+         || ',count=' || CAST(cnt AS VARCHAR)
+         || ' ' || day AS line
+  FROM hsrc WHERE cnt > 0
+)
+SELECT line FROM g UNION ALL SELECT line FROM h
+"""
+
+
 def q_honeycomb_events(spark, sf_dir):
     # events -> spans exercising the honeycomb translation: short/long
     # trace-id form, kind mapping, sampleRate attribute, attr-over-resource
@@ -2261,6 +2326,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qsketch_build": q_qsketch_build,
         "qsketch_quantile": q_qsketch_quantile,
         "honeycomb_events": q_honeycomb_events,
+        "dynatrace_lines": q_dynatrace_lines,
         "multiline_assemble": q_multiline_assemble,
         "hec_roundtrip": q_hec_roundtrip,
         "carbon_roundtrip": q_carbon_roundtrip,
@@ -2342,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "qsketch_build": ORACLE_QSKETCH_BUILD,
         "qsketch_quantile": ORACLE_QSKETCH_QUANTILE,
         "honeycomb_events": ORACLE_HONEYCOMB,
+        "dynatrace_lines": ORACLE_DYNATRACE,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,
