@@ -30,9 +30,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# plaintext_parser.go:50 — key: any char except ";!^="; val: any char
-# except ";~"; '=' must be at index >= 1. One regex per tag token.
-_TAG_RE = "^[^;!^=]+=[^;~]*$"
+from opentelemetry_collector_contrib_spark.functions.maputil import (
+    map_from_arrays_last_wins,
+)
+
+# plaintext_parser.go:64-88 — the code only requires '=' at index >= 1
+# (IndexByte; empty key is the sole rejection).  The doc comment's charset
+# (key excludes ";!^=", val excludes ";~") is NOT enforced by the parser,
+# so we match the code, not the comment: at least one non-'=' char, then
+# '=', then anything (tokens already contain no ';' — they came from the
+# split).  The value may itself contain '=' (tag[idx+1:]).
+_TAG_RE = "^[^=]+="
+
+# |seconds| bound representable in Spark's int64-microsecond timestamps
+# (Long.MAX / 1_000_000).  The reference's strconv.ParseInt accepts any
+# int64 timestamp and the line stays valid (path_parser_helper.go:118-124);
+# out-of-range-for-Spark stamps surface as NULL ts, valid stays true.
+_TS_SEC_MAX = 9_223_372_036_854
 
 
 def parse_carbon_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
@@ -61,8 +75,11 @@ def parse_carbon_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         tags_str == "", F.array().cast("array<string>")
     ).otherwise(F.split(tags_str, ";"))
     tags_ok = F.forall(tag_tokens, lambda t: t.rlike(_TAG_RE))
-    # key = text before the first '='; value = text after it (may be empty)
-    tags = F.map_from_arrays(
+    # key = text before the first '='; value = text after it (may be empty).
+    # Duplicate keys are legal (the reference appends both to its label
+    # list); a MAP model keeps the last occurrence — never throws under
+    # mapKeyDedupPolicy=EXCEPTION.
+    tags = map_from_arrays_last_wins(
         F.transform(tag_tokens, lambda t: F.substring_index(t, "=", 1)),
         F.transform(tag_tokens, lambda t: F.regexp_replace(t, "^[^=]*=", "")),
     )
@@ -84,7 +101,10 @@ def parse_carbon_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         tags.alias("tags"),
         dbl_val.alias("value"),
         int_val.isNotNull().alias("is_int"),
-        F.timestamp_seconds(ts_sec).alias("ts"),
+        F.when(
+            ts_sec.between(-_TS_SEC_MAX, _TS_SEC_MAX),
+            F.timestamp_seconds(ts_sec),
+        ).alias("ts"),
         valid.alias("valid"),
     )
 

@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_contrib_spark.functions.maputil import (
+    map_from_arrays_last_wins,
+)
+
 # one measurement/tag token: escaped char or anything but comma/backslash
 _ID_TOKEN = r"(?:[^,\\]|\\.)+"
 # fields section token: quoted string (with escapes) or escaped/plain chars
@@ -62,7 +66,9 @@ def parse_influx_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
     # each tag must be key=value with an unescaped '='
     tag_re = r"^(?:[^=\\]|\\.)+=(?:[^=\\]|\\.)*$"
     tags_ok = F.forall(tag_tokens, lambda t: t.rlike(tag_re))
-    tags = F.map_from_arrays(
+    # last-wins on duplicate tag keys; never throws under
+    # mapKeyDedupPolicy=EXCEPTION (a dup key is a per-line matter)
+    tags = map_from_arrays_last_wins(
         F.transform(
             tag_tokens,
             lambda t: _unescape(F.regexp_extract(t, r"^((?:[^=\\]|\\.)+)=", 1)),
@@ -91,7 +97,10 @@ def parse_influx_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         df.select(
             measurement.alias("measurement"),
             tags.alias("tags"),
-            F.when(ts_str != "", F.timestamp_seconds(ts_ns / 1e9)).alias("ts"),
+            # integer ns -> µs (exact int64 `div`, truncating toward zero
+            # like Go) — double division would lose ~hundreds of ns at
+            # current epoch values in a nanosecond-precision protocol
+            F.when(ts_str != "", ts_ns).alias("__ts_ns"),
             valid.alias("valid"),
             F.when(valid, field_tokens)
             .otherwise(F.array(F.lit("")))
@@ -136,6 +145,6 @@ def parse_influx_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         num.alias("value"),
         str_val.alias("value_str"),
         ftype.alias("field_type"),
-        "ts",
+        F.expr("timestamp_micros(__ts_ns div 1000)").alias("ts"),
         row_valid.alias("valid"),
     )

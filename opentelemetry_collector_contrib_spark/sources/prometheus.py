@@ -35,6 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_contrib_spark.functions.maputil import (
+    map_from_arrays_last_wins,
+)
+
+# |milliseconds| representable in Spark's int64-microsecond timestamps
+_TS_MS_MAX = 9_223_372_036_854_775
+
 _NAME = r"[a-zA-Z_:][a-zA-Z0-9_:]*"
 _LABEL_NAME = r"[a-zA-Z_][a-zA-Z0-9_]*"
 # one label token: name="value-with-escapes"
@@ -97,10 +104,18 @@ def parse_prometheus_text(df: DataFrame, line_col: str = "line") -> DataFrame:
 
     value = _parse_value(s_value)
     labels_ok = (s_labels == "") | s_labels.rlike(_LABELS_FULL)
-    sample_ok = (s_name != "") & value.isNotNull() & labels_ok
+    # the timestamp token is digits by regex but may overflow int64
+    # (strconv.ParseInt would reject it and the scrape library drops the
+    # line) — try_cast + validity flag instead of a plain cast, which
+    # would raise CAST_INVALID_INPUT under ANSI mode and abort the job
+    ts_ms = s_ts.try_cast("long")
+    ts_ok = (s_ts == "") | ts_ms.isNotNull()
+    sample_ok = (s_name != "") & value.isNotNull() & labels_ok & ts_ok
 
     tokens = F.regexp_extract_all(s_labels, F.lit(f"({_LABEL_TOKEN})"), 1)
-    labels = F.map_from_arrays(
+    # last-wins on duplicate label names; never throws under
+    # mapKeyDedupPolicy=EXCEPTION
+    labels = map_from_arrays_last_wins(
         F.transform(tokens, lambda t: F.regexp_extract(t, _LABEL_TOKEN, 1)),
         F.transform(
             tokens, lambda t: _unescape(F.regexp_extract(t, _LABEL_TOKEN, 2))
@@ -126,7 +141,10 @@ def parse_prometheus_text(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(sample_ok, labels).alias("labels"),
         F.when(sample_ok, value).alias("value"),
         F.when(
-            sample_ok & (s_ts != ""), F.timestamp_millis(s_ts.cast("long"))
+            sample_ok
+            & (s_ts != "")
+            & ts_ms.between(-_TS_MS_MAX, _TS_MS_MAX),
+            F.timestamp_millis(ts_ms),
         ).alias("ts"),
         F.when(help_name != "", _unescape(help_text))
         .when(type_name != "", type_kw)

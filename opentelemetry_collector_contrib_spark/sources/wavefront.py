@@ -30,6 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_contrib_spark.functions.maputil import (
+    map_from_arrays_last_wins,
+)
+
+# |seconds| representable in Spark's int64-microsecond timestamps; the
+# reference accepts any int64 stamp (wavefront_parser.go:94-98) — out-of-
+# range values surface as NULL ts here, the line stays valid
+_TS_SEC_MAX = 9_223_372_036_854
+
 # one tag token: key (no space/'='), '=', then quoted-with-escapes or bare
 _TAG_TOKEN = r'[^\s=]+=(?:"(?:[^"\\]|\\.)*"|[^ ]*)'
 # the whole tag region must be tag tokens separated by spaces
@@ -78,7 +87,9 @@ def parse_wavefront_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         )
         return F.when(raw.rlike('^".*"$'), unesc).otherwise(raw)
 
-    tags = F.map_from_arrays(
+    # last-wins on duplicate tag keys (a Go map built in token order),
+    # never throws under mapKeyDedupPolicy=EXCEPTION
+    tags = map_from_arrays_last_wins(
         F.transform(tag_tokens, lambda t: F.substring_index(t, "=", 1)),
         F.transform(tag_tokens, _tag_value),
     )
@@ -95,7 +106,10 @@ def parse_wavefront_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         name.alias("metric_name"),
         dbl_val.alias("value"),
         int_val.isNotNull().alias("is_int"),
-        F.when(has_ts, F.timestamp_seconds(ts_sec)).alias("ts"),
+        F.when(
+            has_ts & ts_sec.between(-_TS_SEC_MAX, _TS_SEC_MAX),
+            F.timestamp_seconds(ts_sec),
+        ).alias("ts"),
         tags.alias("tags"),
         valid.alias("valid"),
     )

@@ -451,3 +451,74 @@ def test_fluentforward_decode_modes(spark):
     assert by_body["m2"]["ts"].microsecond == 500000
     assert by_body["a"]["tag"] == "fwd" and by_body["b"]["tag"] == "fwd"
     assert by_body["x"]["tag"] == "pf"
+
+
+def test_line_parsers_hostile_inputs_never_abort(spark):
+    """ADVICE r2 regressions: hostile single lines must classify per-line
+    (valid=false / NULL ts), never raise DUPLICATED_MAP_KEY /
+    CAST_INVALID_INPUT / long-overflow and abort the whole job."""
+    from opentelemetry_collector_contrib_spark.sources import (
+        carbon, influx, prometheus, wavefront,
+    )
+
+    # --- duplicate tag/label keys: last occurrence wins, job survives ---
+    c = carbon.parse_carbon_lines(
+        spark.createDataFrame([("name;k=1;k=2 5 100",)], "line STRING")
+    ).collect()[0]
+    assert c["valid"] and c["tags"] == {"k": "2"}
+
+    w = wavefront.parse_wavefront_lines(
+        spark.createDataFrame([("m 1 100 source=h k=1 k=2",)], "line STRING")
+    ).collect()[0]
+    assert w["valid"] and w["tags"] == {"source": "h", "k": "2"}
+
+    i = influx.parse_influx_lines(
+        spark.createDataFrame([("m,k=1,k=2 f=1 100",)], "line STRING")
+    ).collect()[0]
+    assert i["valid"] and i["tags"] == {"k": "2"}
+
+    p = prometheus.parse_prometheus_text(
+        spark.createDataFrame([('m{k="1",k="2"} 5',)], "line STRING")
+    ).collect()[0]
+    assert p["kind"] == "sample" and p["labels"] == {"k": "2"}
+
+    # --- int64-overflow prometheus timestamp: line becomes invalid ---
+    p2 = prometheus.parse_prometheus_text(
+        spark.createDataFrame(
+            [("m 5 999999999999999999999999",), ("m 5 1700000000000",)],
+            "line STRING",
+        )
+    ).collect()
+    by = {r["kind"]: r for r in p2}
+    assert "invalid" in by and by["sample"]["ts"] is not None
+
+    # --- valid-int64 timestamps beyond Spark's µs range: NULL ts, valid ---
+    c2 = carbon.parse_carbon_lines(
+        spark.createDataFrame(
+            [("m 5 9223372036854775807",), ("m 5 100",)], "line STRING"
+        )
+    ).collect()
+    big = [r for r in c2 if r["ts"] is None][0]
+    assert big["valid"] and len([r for r in c2 if r["valid"]]) == 2
+
+    w2 = wavefront.parse_wavefront_lines(
+        spark.createDataFrame(
+            [("m 5 9223372036854775807 source=h",)], "line STRING"
+        )
+    ).collect()[0]
+    assert w2["valid"] and w2["ts"] is None
+
+    # --- carbon tag charset follows the code, not the doc comment:
+    # plaintext_parser.go:64-69 only requires '=' at index >= 1 ---
+    c3 = carbon.parse_carbon_lines(
+        spark.createDataFrame([("m;a!b=c 1 1",)], "line STRING")
+    ).collect()[0]
+    assert c3["valid"] and c3["tags"] == {"a!b": "c"}
+
+    # --- influx ns timestamps keep integer µs precision ---
+    i2 = influx.parse_influx_lines(
+        spark.createDataFrame(
+            [("m f=1 1700000000123456789",)], "line STRING"
+        )
+    ).collect()[0]
+    assert i2["valid"] and i2["ts"].microsecond == 123456
