@@ -56,13 +56,15 @@ def _rowset(rows, cols):
     return sorted((tuple(_norm(v) for v in r) for r in rows), key=_key), cols
 
 
-QUERY_NAMES = sorted(entrymod.queries().keys())
+QUERY_NAMES = sorted(entrymod.queries().keys()) + sorted(
+    entrymod.demoted_queries().keys()
+)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck01, name):
-    q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql().get(name)
+    q = {**entrymod.queries(), **entrymod.demoted_queries()}[name]
+    sql = {**entrymod.oracle_sql(), **entrymod.demoted_oracle_sql()}.get(name)
     assert sql is not None, f"{name}: no oracle"
     sdf = q(spark, SF_DIR)
     s_cols = sorted(sdf.columns)
