@@ -35,6 +35,7 @@ from opentelemetry_collector_contrib_spark.operators import (
     loadbalancing,
     metricstransform,
     qsketch,
+    routing,
     signalfx,
     similarity,
     spanmetrics,
@@ -151,6 +152,72 @@ def q_routed_rows(spark, sf_dir):
 
 ORACLE_ROUTED_ROWS = f"""{PAGES_CTE}
 SELECT {ROUTE_CASE} AS route, url FROM pages
+"""
+
+
+# routing to exporter LISTS (config.go:43-52 RoutingTableItem.Exporters):
+# 'en' feeds two sinks, so every English page is duplicated-by-design into
+# sink_en AND sink_archive; the exploded row set is what the clustered
+# fan-out write consumes in one scan
+def _multi_routed(spark, sf_dir):
+    cfg = routing.RoutingConfig(
+        from_attribute="lang",
+        table={"en": ["sink_en", "sink_archive"], "de": "sink_de"},
+        default_sink=["sink_other"],
+        predicate_routes=[
+            ("sink_refused", ~F.col("parse_ok")),
+            ("sink_quarantine", F.col("status") >= 400),
+        ],
+    )
+    parsed = parse_fns.parse_stage(_pages(spark, sf_dir))
+    return routing.explode_routes(routing.with_routes(parsed, cfg))
+
+
+MULTI_LANE_CASE = (
+    "CASE WHEN corrupt THEN 'refused'"
+    " WHEN status >= 400 THEN 'quarantine'"
+    " WHEN lang = 'en' THEN 'en'"
+    " WHEN lang = 'de' THEN 'de'"
+    " ELSE 'other' END"
+)
+
+
+def q_route_multi_counts(spark, sf_dir):
+    return _multi_routed(spark, sf_dir).groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+ORACLE_ROUTE_MULTI_COUNTS = f"""{PAGES_CTE},
+lanes AS (SELECT {MULTI_LANE_CASE} AS lane FROM pages),
+fan AS (
+  SELECT CASE lane WHEN 'refused' THEN 'sink_refused'
+                   WHEN 'quarantine' THEN 'sink_quarantine'
+                   WHEN 'en' THEN 'sink_en'
+                   WHEN 'de' THEN 'sink_de'
+                   ELSE 'sink_other' END AS route
+  FROM lanes
+  UNION ALL
+  SELECT 'sink_archive' AS route FROM lanes WHERE lane = 'en'
+)
+SELECT route, COUNT(*) AS n_rows FROM fan GROUP BY 1
+"""
+
+
+def q_route_multi_rows(spark, sf_dir):
+    return _multi_routed(spark, sf_dir).select("route", "url")
+
+
+ORACLE_ROUTE_MULTI_ROWS = f"""{PAGES_CTE},
+lanes AS (SELECT url, {MULTI_LANE_CASE} AS lane FROM pages)
+SELECT CASE lane WHEN 'refused' THEN 'sink_refused'
+                 WHEN 'quarantine' THEN 'sink_quarantine'
+                 WHEN 'en' THEN 'sink_en'
+                 WHEN 'de' THEN 'sink_de'
+                 ELSE 'sink_other' END AS route, url
+FROM lanes
+UNION ALL
+SELECT 'sink_archive' AS route, url FROM lanes WHERE lane = 'en'
 """
 
 
@@ -1643,6 +1710,12 @@ def q_embedding_neardup_banded(spark, sf_dir):
     return similarity.neardup_pairs_banded(_emb(spark, sf_dir), threshold=0.45)
 
 
+def q_embedding_neardup_blocked(spark, sf_dir):
+    # same exact anchor prune, block-GEMM verify (the 100 TB path; see
+    # tools/bench_neardup.py) — identical result, shares ORACLE_EMB_NEARDUP
+    return similarity.neardup_pairs_blocked(_emb(spark, sf_dir), threshold=0.45)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return similarity.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
@@ -2321,7 +2394,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "routed_rows": q_routed_rows,
         # --- block 4: new in r3 ---
-        # (new queries are registered here as they are built)
+        "route_multi_counts": q_route_multi_counts,
+        "route_multi_rows": q_route_multi_rows,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -2402,6 +2477,9 @@ def oracle_sql() -> dict[str, str]:
         "severity_map": ORACLE_SEVERITY_MAP,
         "route_counts": ORACLE_ROUTE_COUNTS,
         "routed_rows": ORACLE_ROUTED_ROWS,
+        "route_multi_counts": ORACLE_ROUTE_MULTI_COUNTS,
+        "route_multi_rows": ORACLE_ROUTE_MULTI_ROWS,
+        "embedding_neardup_blocked": ORACLE_EMB_NEARDUP,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),

@@ -49,7 +49,9 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard_stopgram",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
-    "embedding_neardup_banded",
+    # block-GEMM verify is the scale path (see tools/bench_neardup.py);
+    # the UDF-free banded sibling stays a correctness query
+    "embedding_neardup_blocked",
     "ann_topk",
     "lang_id",
     "quality_score",

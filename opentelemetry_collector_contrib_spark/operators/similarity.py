@@ -184,12 +184,20 @@ def train_ivf_centroids(
     v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if sample_mod > 1:
         v = v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(sample_mod)) == 0)
+    # a small parquet reads as one partition, which would serialize every
+    # Lloyd iteration on one core; spread the (small) training set once
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
     centroids = [
         [float(x) for x in r["vec"]]
         for r in v.orderBy("id").limit(n_cells).collect()
     ]
     for _ in range(iters):
-        assigned = v.select(assign_cell(F.col("vec"), centroids).alias("cell"), "vec")
+        # Arrow GEMM assignment (see _assign_cells_arrow): the literal-
+        # expression variant builds an n_cells x dim lambda tree whose
+        # per-stage codegen alone costs tens of seconds at 64 cells
+        assigned = _assign_cells_arrow(v, centroids).select("cell", "vec")
         means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -294,59 +302,114 @@ def neardup_pairs(
     )
 
 
-def neardup_pairs_banded(
-    embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.45,
-    n_anchors: int = 8,
+#: Prune diagnostics of the most recent _anchor_cells() call — the bench
+#: harness reads and reports these (the prune-rate evidence the plan needs;
+#: a silent no-op prune would otherwise look like coverage).
+LAST_PRUNE_STATS: dict = {}
+
+_LOG = __import__("logging").getLogger("ocs.similarity")
+
+
+def _assign_cells_arrow(
+    v: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
-    """Scale path for :func:`neardup_pairs` — identical result set.
+    """(id, vec) -> (id, vec, cell, alpha): nearest-centroid assignment as
+    one numpy GEMM per Arrow batch (``mapInArrow``).
 
-    Anchor-cell pruning (metric pivot pruning on the unit sphere — the
-    exact-filtering family of Bayardo et al., "Scaling Up All Pairs
-    Similarity Search", WWW'07, applied with angular pivots): every vector
-    is assigned to its nearest of ``n_anchors`` anchor vectors (the lowest
-    ids, deterministic); a cell pair (i, j) can contain a qualifying pair
-    only if  angle(anchor_i, anchor_j) - radius_i - radius_j <= theta_t
-    (spherical triangle inequality), so candidate generation is an
-    equi-join through the surviving cell-pair table instead of a cross
-    join, then candidates verify with the exact cosine. Unlike hyperplane
-    LSH banding this prunes with NO false negatives, so the result is
-    provably identical to the all-pairs join and shares its oracle.
+    Dense batch x centroids similarity is exactly the case where an
+    Arrow-vectorized kernel beats the JVM fold: the literal-expression
+    assignment evaluates n_cells x dim interpreted lambda steps per row
+    (~4096 for 64 cells x 64 dims), the GEMM does the same math at BLAS
+    speed. Same argmax-first tie-breaking as F.array_position. One map
+    stage, no shuffle — identical plan shape to the expression version.
+    """
+    import numpy as np
+    import pyarrow as pa
 
-    At 10^12 rows: anchors/radii are tiny driver-side state (like a
-    broadcast dim table); the join replicates each vector once per
-    surviving partner cell; hot cells are the skew knob (raise
-    ``n_anchors`` / salt the per-cell-pair block join).
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vec_arr = batch.column("vec")
+            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = mat @ cents.T
+            cell = cos.argmax(axis=1).astype(np.int32)
+            alpha = np.arccos(np.clip(cos.max(axis=1), -1.0, 1.0))
+            yield pa.record_batch(
+                [
+                    batch.column("id"),
+                    vec_arr,
+                    pa.array(cell, type=pa.int32()),
+                    pa.array(alpha, type=pa.float64()),
+                ],
+                names=["id", "vec", "cell", "alpha"],
+            )
+
+    schema = (
+        "id LONG, vec ARRAY<FLOAT>, cell INT, alpha DOUBLE"
+    )
+    return v.mapInArrow(assign, schema)
+
+
+def _anchor_cells(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_anchors: int,
+    iters: int,
+    train_sample_mod: int = 1,
+):
+    """Shared machinery for the exact anchor-pruned near-dup paths.
+
+    Trains ``n_anchors`` spherical-k-means centroids (deterministic,
+    :func:`train_ivf_centroids`), assigns every vector to its nearest
+    centroid with its angle ``alpha`` to it, and prunes cell pairs with
+    the spherical triangle inequality:  a cell pair (i, j) can contain a
+    qualifying pair only if  angle(c_i, c_j) - radius_i - radius_j <=
+    theta_t.  NO false negatives — the admitted-pair set provably covers
+    every pair with cosine >= threshold, so callers share the all-pairs
+    oracle.
+
+    Pruning power is data-dependent: on clustered corpora (the realistic
+    near-dup case — that's why duplicates exist) radii shrink to the
+    cluster radius and most cross-cell pairs die; on adversarially
+    uniform high-dim data radii approach 90 deg and NO exact method can
+    prune (every cell pair is admitted — logged, never hidden).
+
+    Returns (assigned_df(id, vec, cell, alpha) [persisted], allowed list
+    of (cell_a, cell_b, angle), theta_t).  Fills LAST_PRUNE_STATS.
     """
     import math
 
-    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    anchors = [
-        (int(r["id"]), [float(x) for x in r["vec"]])
-        for r in v.orderBy("id").limit(n_anchors).collect()
-    ]
+    centroids = train_ivf_centroids(
+        embeddings, id_col, vec_col, n_cells=n_anchors, iters=iters,
+        sample_mod=train_sample_mod,
+    )
     theta_t = math.acos(max(-1.0, min(1.0, threshold)))
 
-    cos_to_anchor = [
-        cosine(F.col("vec"), F.array(*[F.lit(x) for x in avec])).alias(f"c_{i}")
-        for i, (_aid, avec) in enumerate(anchors)
-    ]
-    scored = v.select("id", "vec", *cos_to_anchor)
-    cos_arr = F.array(*[F.col(f"c_{i}") for i in range(len(anchors))])
-    assigned = scored.select(
-        "id",
-        "vec",
-        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int").alias("cell"),
-        F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.array_max(cos_arr)))).alias(
-            "alpha"
-        ),
-    )
-    radii = {
-        int(r["cell"]): float(r["r"])
-        for r in assigned.groupBy("cell").agg(F.max("alpha").alias("r")).collect()
-    }
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # a small parquet reads as one partition — spread it so assignment and
+    # the candidate verify parallelize (no-op when the scan already has
+    # enough splits, i.e. at real scale)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
+    # persisted: re-read by the radii pass and both sides of the candidate
+    # join (at 10^12 rows use DISK_ONLY or recompute — the assignment is
+    # one Arrow map stage over the scan, no shuffle either way)
+    assigned = _assign_cells_arrow(v, centroids).persist()
+
+    cell_stats = assigned.groupBy("cell").agg(
+        F.max("alpha").alias("r"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    radii = {int(r["cell"]): float(r["r"]) for r in cell_stats}
+    counts = {int(r["cell"]): int(r["n"]) for r in cell_stats}
 
     def _angle(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -354,33 +417,217 @@ def neardup_pairs_banded(
         nb = math.sqrt(sum(x * x for x in b))
         return math.acos(max(-1.0, min(1.0, d / (na * nb))))
 
-    # ordered cell pairs (both directions for i != j so id_a < id_b below
-    # emits each unordered vector pair exactly once); 1e-9 slack only ever
-    # ADMITS extra candidates — prune stays exact
+    # ordered cell pairs (both directions for i != j so id_a < id_b in the
+    # callers emits each unordered vector pair exactly once); 1e-9 slack
+    # only ever ADMITS extra candidates — the prune stays exact
     allowed = [
-        (i, j)
+        (i, j, ang)
         for i in radii
         for j in radii
-        if _angle(anchors[i][1], anchors[j][1]) - radii[i] - radii[j]
+        if (ang := _angle(centroids[i], centroids[j])) - radii[i] - radii[j]
         <= theta_t + 1e-9
     ]
+    n_live = len(radii)
+    n_rows = sum(counts.values())
+    est_cand = sum(counts[i] * counts[j] for i, j, _ in allowed)
+    LAST_PRUNE_STATS.clear()
+    LAST_PRUNE_STATS.update(
+        n_cells=n_live,
+        allowed_cell_pairs=len(allowed),
+        total_cell_pairs=n_live * n_live,
+        est_candidate_ordered_pairs=est_cand,
+        corpus_ordered_pairs=n_rows * n_rows,
+    )
+    _LOG.info(
+        "neardup anchor prune: %d/%d cell pairs admitted (%.1f%%), "
+        "est candidate ordered pairs %d of %d (%.2f%%)",
+        len(allowed), n_live * n_live,
+        100.0 * len(allowed) / max(1, n_live * n_live),
+        est_cand, n_rows * n_rows,
+        100.0 * est_cand / max(1, n_rows * n_rows),
+    )
+    return assigned, allowed, theta_t
+
+
+def neardup_pairs_banded(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_anchors: int = 8,
+    iters: int = 2,
+    salt: int = 8,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """Scale path for :func:`neardup_pairs` — identical result set.
+
+    Anchor-cell pruning (metric pivot pruning on the unit sphere — the
+    exact-filtering family of Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07, with angular pivots): see
+    :func:`_anchor_cells` for the prune.  Candidate generation is an
+    equi-join through the surviving cell-pair table, then a per-row
+    spherical-triangle prefilter  angle(c_i, c_j) - alpha_a - alpha_b <=
+    theta_t  (scalar compare — skips the 64-dim fold for most candidates
+    on clustered data), then the exact cosine (same sequential fold as the
+    all-pairs path, so rounded values agree with the shared oracle).
+
+    The candidate join is salted: the b side is replicated ``salt`` times
+    and the join key is (cell, replica), so verify parallelism is
+    n_cells x salt tasks instead of one task per (possibly huge) cell —
+    without salting a handful of live cells serializes the whole verify
+    (measured 31.6 s -> ~3 s at sf0.1; the skew knob the round-2 plan
+    audit asked for).
+    """
+    assigned, allowed, theta_t = _anchor_cells(
+        embeddings, id_col, vec_col, threshold, n_anchors, iters,
+        train_sample_mod,
+    )
     spark = embeddings.sparkSession
-    pair_df = spark.createDataFrame(allowed, "cell_a INT, cell_b INT")
+    pair_df = spark.createDataFrame(
+        [(i, j, float(ang)) for i, j, ang in allowed],
+        "cell_a INT, cell_b INT, ang DOUBLE",
+    )
 
     a = assigned.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("v_a"), F.col("cell").alias("cell_a")
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("v_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("alpha").alias("alpha_a"),
+        F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int").alias("rep"),
     )
     b = assigned.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("v_b"), F.col("cell").alias("cell_b")
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("v_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("alpha").alias("alpha_b"),
+    ).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
     )
     return (
         a.join(F.broadcast(pair_df), "cell_a")
-        .join(b, "cell_b")
+        .join(b, ["cell_b", "rep"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # exact per-row lower bound on angle(v_a, v_b); only ever rejects
+        # pairs that cannot qualify
+        .filter(
+            F.col("ang") - F.col("alpha_a") - F.col("alpha_b")
+            <= F.lit(theta_t + 1e-9)
+        )
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
     )
+
+
+def neardup_pairs_blocked(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_anchors: int = 8,
+    iters: int = 2,
+    row_block: int = 4096,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """Block-matrix scale path: same exact anchor prune as
+    :func:`neardup_pairs_banded`, but the verify is one float64 GEMM per
+    admitted cell pair (cogrouped ``applyInPandas``) instead of a per-pair
+    fold.
+
+    Why this is the 100 TB shape: the Arrow transfer moves each cell's
+    VECTORS (O(n_i + n_j) rows per admitted pair), never the candidate
+    PAIRS (O(n_i * n_j)) — the pair space only ever exists as numpy
+    blocks inside the UDF, ``row_block`` rows at a time (bounded memory:
+    row_block x |cell| doubles).  Dense-similarity verify is exactly what
+    BLAS is for; the JVM fold in the banded sibling pays ~100 ns per
+    element, a GEMM pays ~0.1 ns.  Skew knob: a cell too large for one
+    task splits into row-blocks via the salted banded path, or raise
+    ``n_anchors``.
+
+    Float64 GEMM and the sequential fold agree to ~1e-15, so rounded
+    (5 dp) cosines match the shared all-pairs oracle exactly unless a
+    pair sits within 1e-10 of the threshold or a rounding boundary —
+    asserted against :func:`neardup_pairs` in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned, allowed, theta_t = _anchor_cells(
+        embeddings, id_col, vec_col, threshold, n_anchors, iters,
+        train_sample_mod,
+    )
+    spark = embeddings.sparkSession
+    pair_df = spark.createDataFrame(
+        [(i, j, float(ang)) for i, j, ang in allowed],
+        "cell_a INT, cell_b INT, ang DOUBLE",
+    )
+    # one grouped applyInPandas over a side-tagged union (a cogroup of two
+    # branches of the same lineage trips Spark's ambiguous-self-join
+    # analyzer; the union is equivalent and moves each cell's vectors once
+    # per admitted partner cell)
+    sides = assigned.select("id", "vec", "cell", "alpha")
+    left = (
+        sides.join(F.broadcast(pair_df), sides["cell"] == pair_df["cell_a"])
+        .select("cell_a", "cell_b", "ang", "id", "vec", "alpha",
+                F.lit(0).alias("side"))
+    )
+    right = (
+        sides.join(F.broadcast(pair_df), sides["cell"] == pair_df["cell_b"])
+        .select("cell_a", "cell_b", "ang", "id", "vec", "alpha",
+                F.lit(1).alias("side"))
+    )
+    tagged = left.unionByName(right)
+
+    thr = float(threshold)
+    blk = int(row_block)
+    tt = float(theta_t) + 1e-9
+
+    def gemm_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = pdf[pdf["side"] == 0]
+        r = pdf[pdf["side"] == 1]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        # per-record spherical-triangle prune (Bayardo-style record-level
+        # filtering): a row can only pair into this cell pair if
+        # alpha_row + max(alpha_partner) >= angle(c_i, c_j) - theta_t.
+        # Exact — discards only rows that cannot form ANY qualifying pair
+        # here; bites even when the cell-level max-radius prune admits the
+        # pair (wide cells, tight threshold).
+        ang = float(pdf["ang"].iloc[0])
+        need = ang - tt
+        if need > 0:
+            amax_l = float(l["alpha"].max())
+            amax_r = float(r["alpha"].max())
+            l = l[l["alpha"] >= need - amax_r]
+            r = r[r["alpha"] >= need - amax_l]
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids_a = l["id"].to_numpy()
+        ids_b = r["id"].to_numpy()
+        va = np.stack(l["vec"].to_numpy()).astype(np.float64)
+        vb = np.stack(r["vec"].to_numpy()).astype(np.float64)
+        va /= np.linalg.norm(va, axis=1, keepdims=True)
+        vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(va), blk):
+            c = va[s : s + blk] @ vb.T
+            ii, jj = np.nonzero(c >= thr)
+            keep = ids_a[s + ii] < ids_b[jj]
+            out_a.append(ids_a[s + ii][keep])
+            out_b.append(ids_b[jj][keep])
+            out_c.append(c[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    out = tagged.groupBy("cell_a", "cell_b").applyInPandas(
+        gemm_verify, "id_a LONG, id_b LONG, cos DOUBLE"
+    )
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 
 def neardup_pairs_sql(

@@ -171,3 +171,60 @@ def test_jaccard_for_pairs_restricts_to_given_pairs(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG")
     out = dedup.jaccard_for_pairs(pairs, grams, sizes, threshold=0.0).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
+
+
+def test_neardup_blocked_identical_and_prune_stats(spark):
+    """Block-GEMM path: identical pair set to the exact all-pairs join
+    (float64 GEMM vs sequential fold agree at 5 dp), and LAST_PRUNE_STATS
+    reports the admitted-cell-pair rate honestly (100% on this
+    near-uniform corpus — the adversarial no-prune case)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {tuple(r) for r in similarity.neardup_pairs(emb, threshold=0.45).collect()}
+    blocked = {
+        tuple(r)
+        for r in similarity.neardup_pairs_blocked(
+            emb, threshold=0.45, n_anchors=8
+        ).collect()
+    }
+    assert blocked == exact
+    st = similarity.LAST_PRUNE_STATS
+    assert st["allowed_cell_pairs"] <= st["total_cell_pairs"]
+    assert st["est_candidate_ordered_pairs"] <= st["corpus_ordered_pairs"]
+
+
+def test_neardup_prune_bites_on_clustered_data(spark):
+    """On clustered vectors (tight clusters, wide center separation, a
+    realistic near-dup corpus) the spherical-triangle prune must reject
+    most cell pairs and the result must still equal the exact join."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n_clusters, n = 16, 6, 240
+    centers = np.linalg.qr(rng.standard_normal((d, n_clusters)))[0].T  # orthogonal
+    sigma = math.sqrt(0.05 / d)
+    cell = rng.integers(0, n_clusters, n)
+    # the deterministic k-means init seeds from the lowest ids — make the
+    # first rows span all clusters so no cluster goes uncovered
+    cell[:n_clusters] = np.arange(n_clusters)
+    g = rng.standard_normal((n, d))
+    g = g / np.linalg.norm(g, axis=1, keepdims=True) * math.sqrt(d)
+    v = centers[cell] + sigma * g
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    thr = 0.9
+    exact = {tuple(r) for r in similarity.neardup_pairs(emb, threshold=thr).collect()}
+    blocked = {
+        tuple(r)
+        for r in similarity.neardup_pairs_blocked(
+            emb, threshold=thr, n_anchors=n_clusters, iters=3
+        ).collect()
+    }
+    assert blocked == exact
+    st = similarity.LAST_PRUNE_STATS
+    # orthogonal centers (90 deg) with ~18 deg radii at theta_t 25.8 deg:
+    # cross-cell pairs must be rejected — anything close to all-admitted
+    # means the prune is broken
+    assert st["allowed_cell_pairs"] < 0.5 * st["total_cell_pairs"], st

@@ -280,3 +280,58 @@ def test_promote_from_map_absent_key(spark):
     assert got[1] == ("en", {"x": "1"})
     # absent key promotes to NULL and the map is untouched
     assert got[2] == (None, {"x": "2"})
+
+
+def test_routing_to_exporter_lists_conservation(spark):
+    """config.go:43-52: a table value may name SEVERAL exporters; the
+    record goes to each (duplicated by design). Conservation: exploded
+    rows == sum over records of |routes|; every sink's fan_out slice
+    matches the exploded subset."""
+    from opentelemetry_collector_contrib_spark.operators import routing
+
+    df = spark.createDataFrame(
+        [("a", "en", 200), ("b", "de", 200), ("c", "en", 500),
+         ("d", "fr", 200), ("e", "en", 200)],
+        "id STRING, lang STRING, status INT",
+    )
+    cfg = routing.RoutingConfig(
+        from_attribute="lang",
+        table={"en": ["sink_en", "sink_archive"], "de": "sink_de"},
+        default_sink=["sink_other", "sink_audit"],
+        predicate_routes=[("sink_quarantine", F.col("status") >= 400)],
+    )
+    tagged = routing.with_routes(df, cfg)
+    rows = {
+        (r["id"], r["route"])
+        for r in routing.explode_routes(tagged).collect()
+    }
+    assert rows == {
+        ("a", "sink_en"), ("a", "sink_archive"),
+        ("b", "sink_de"),
+        ("c", "sink_quarantine"),
+        ("d", "sink_other"), ("d", "sink_audit"),
+        ("e", "sink_en"), ("e", "sink_archive"),
+    }
+    # conservation: accepted == sum(routed) - duplicated-by-design
+    accepted = df.count()
+    routed = len(rows)
+    dup = tagged.select(
+        F.sum(F.size("routes") - 1).alias("d")
+    ).collect()[0]["d"]
+    assert accepted == routed - dup
+    # fan_out slices agree with the exploded view, one scan semantics
+    slices = routing.fan_out(df, cfg)
+    assert set(slices) == {
+        "sink_quarantine", "sink_en", "sink_archive", "sink_de",
+        "sink_other", "sink_audit",
+    }
+    for sink, sdf in slices.items():
+        assert {r["id"] for r in sdf.collect()} == {
+            i for i, s in rows if s == sink
+        }
+    # scalar-table legacy path unchanged: route == first element
+    single = routing.with_route(df, cfg).select("id", "route").collect()
+    assert {(r["id"], r["route"]) for r in single} == {
+        ("a", "sink_en"), ("b", "sink_de"), ("c", "sink_quarantine"),
+        ("d", "sink_other"), ("e", "sink_en"),
+    }
