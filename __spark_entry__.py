@@ -926,26 +926,54 @@ FROM events GROUP BY 1, 2
 
 
 def q_metricstransform_combine(spark, sf_dir):
-    # combine (metrics_transform_processor.go:279-421): union two matched
-    # metrics into one name; the second input lacks the 'unit' column, so
+    # combine (metrics_transform_processor.go:279-421 + config.go:100-112):
+    # per-family metrics named evt_<type>_count / evt_<type>_sum are
+    # combined under a regexp include filter whose capture groups become
+    # NEW LABELS carrying the submatches of the original metric name; the
+    # count input carries a 'unit' column the sum input lacks, so
     # unionByName(allowMissingColumns) null-fills it
     ev = _events(spark, sf_dir)
-    m_count = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("value")
-    ).withColumn("unit", F.lit("1"))
-    m_sum = ev.groupBy("event_type").agg(
-        F.round(F.sum("value"), 4).alias("value")
+    m_count = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn(
+            "metric_name",
+            F.concat(F.lit("evt_"), F.col("event_type"), F.lit("_count")),
+        )
+        .withColumn("unit", F.lit("1"))
     )
-    out = metricstransform.combine([m_count, m_sum], "combined_metric")
-    return out.select("event_type", "metric_name", "value", "unit")
+    m_sum = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 4).alias("value"))
+        .withColumn(
+            "metric_name",
+            F.concat(F.lit("evt_"), F.col("event_type"), F.lit("_sum")),
+        )
+    )
+    merged = m_count.unionByName(m_sum, allowMissingColumns=True)
+    out = metricstransform.combine_matched(
+        merged, r"^evt_(.*)_(count|sum)$", "combined_metric"
+    )
+    # unnamed capture groups surface as $1/$2 (SubexpNames parity);
+    # aliased here so the oracle compare has plain identifiers
+    return out.select(
+        "event_type",
+        "metric_name",
+        F.col("$1").alias("family"),
+        F.col("$2").alias("kind"),
+        "value",
+        "unit",
+    )
 
 
 ORACLE_MT_COMBINE = """
 SELECT event_type, 'combined_metric' AS metric_name,
+       event_type AS family, 'count' AS kind,
        CAST(COUNT(*) AS DOUBLE) AS value, '1' AS unit
 FROM events GROUP BY 1
 UNION ALL
-SELECT event_type, 'combined_metric', ROUND(SUM(value), 4), NULL
+SELECT event_type, 'combined_metric', event_type, 'sum',
+       ROUND(SUM(value), 4), NULL
 FROM events GROUP BY 1
 """
 

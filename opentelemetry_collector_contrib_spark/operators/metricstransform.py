@@ -139,6 +139,69 @@ def combine(dfs: list[DataFrame], new_name: str, name_col: str = "metric_name") 
     return out.withColumn(name_col, F.lit(new_name))
 
 
+def _subexp_names(pattern: str) -> list[str]:
+    """Names of the pattern's capturing groups, '' for unnamed — the
+    regexp.Regexp.SubexpNames() semantics the combine transform relies on
+    (metrics_transform_processor.go:352-362).  Hand-scanned because Java
+    named-group syntax ``(?<name>...)`` differs from Python's."""
+    import re as _re
+
+    names: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":  # character class: '(' inside is literal
+            i += 1
+            while i < len(pattern) and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            if pattern[i : i + 2] == "(?":
+                m = _re.match(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:])
+                if m:  # named capture; (?: (?= (?! etc. don't capture
+                    names.append(m.group(1))
+            else:
+                names.append("")
+        i += 1
+    return names
+
+
+def combine_matched(
+    df: DataFrame,
+    include_pattern: str,
+    new_name: str,
+    name_col: str = "metric_name",
+    submatch_case: str | None = None,
+) -> DataFrame:
+    """COMBINE with a regexp include filter (config.go:100-112 +
+    metrics_transform_processor.go:342-388): rows whose metric name
+    matches ``include_pattern`` (full-match, like the strict MatchString
+    over ^...$ patterns) are renamed to ``new_name``, and every capturing
+    group of the pattern becomes a NEW LABEL column whose value is the
+    submatch of the original metric name — named groups use their name,
+    unnamed use ``$i`` (SubexpNames parity).  ``submatch_case`` 'lower' /
+    'upper' applies replaceCaseOfSubmatch (:388-397).
+
+    One codegen'd map stage (rlike + regexp_extract) — no shuffle; the
+    caller composes :func:`aggregate_labels` after if datapoints with the
+    now-identical label sets must merge (AggregationType).
+    """
+    matched = df.filter(F.col(name_col).rlike(include_pattern))
+    out = matched
+    for idx, nm in enumerate(_subexp_names(include_pattern), start=1):
+        col = F.regexp_extract(F.col(name_col), include_pattern, idx)
+        if submatch_case == "lower":
+            col = F.lower(col)
+        elif submatch_case == "upper":
+            col = F.upper(col)
+        out = out.withColumn(nm or f"${idx}", col)
+    return out.withColumn(name_col, F.lit(new_name))
+
+
 def metrics_generation(
     df: DataFrame,
     name1: str,

@@ -335,3 +335,25 @@ def test_routing_to_exporter_lists_conservation(spark):
         ("a", "sink_en"), ("b", "sink_de"), ("c", "sink_quarantine"),
         ("d", "sink_other"), ("e", "sink_en"),
     }
+
+
+def test_combine_matched_submatch_labels(spark):
+    """config.go:100-112: capture groups of the combine include filter
+    become labels valued by submatches of the metric name; named groups
+    use their name, unnamed use $i; submatch_case maps case."""
+    from opentelemetry_collector_contrib_spark.operators import metricstransform
+
+    df = spark.createDataFrame(
+        [("http_GET_count", 3.0), ("http_PUT_count", 2.0), ("other", 9.0)],
+        "metric_name STRING, value DOUBLE",
+    )
+    out = metricstransform.combine_matched(
+        df, r"^http_(?<verb>[A-Z]+)_(count)$", "http_requests",
+        submatch_case="lower",
+    )
+    rows = {(r["verb"], r["$2"], r["value"]) for r in out.collect()}
+    assert rows == {("get", "count", 3.0), ("put", "count", 2.0)}
+    assert {r["metric_name"] for r in out.collect()} == {"http_requests"}
+    # non-matching rows are untouched (removeMatchedMetrics keeps them in
+    # the stream; combine_matched returns only the combined metric)
+    assert out.count() == 2

@@ -107,3 +107,55 @@ def test_groupbytrace_stream_sessions(spark, sf_dir, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_groupbytrace_stream_capped_eviction(spark, tmp_path):
+    """processor.go:130-143: a new trace arriving at a full ring evicts the
+    oldest buffered trace. 20 traces through a num_traces=5 single-worker
+    ring in one micro-batch: the first 15 (arrival order) surface as
+    released=false evictions, the last 5 release on the wait timeout."""
+    import pandas as pd
+
+    in_path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    rows = []
+    eid = 0
+    for t in range(20):
+        for _ in range(2):  # two spans per trace
+            rows.append((f"t{t:02d}", eid))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["trace_id", "event_id"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(in_path)
+
+    stream = (
+        spark.readStream.schema("trace_id string, event_id long")
+        .parquet(in_path)
+    )
+    out = stateful.group_by_trace_stream_capped(
+        stream, "trace_id", "event_id",
+        wait_duration_ms=1500, num_traces=5, n_workers=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gbt_capped")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline and len(got) < 20:
+            time.sleep(2)
+            got = spark.sql("SELECT * FROM gbt_capped").collect()
+        evicted = {r["trace_key"] for r in got if not r["released"]}
+        released = {r["trace_key"] for r in got if r["released"]}
+        assert evicted == {f"t{t:02d}" for t in range(15)}
+        assert released == {f"t{t:02d}" for t in range(15, 20)}
+        # per-trace aggregates survive both paths
+        by_key = {r["trace_key"]: r for r in got}
+        assert by_key["t00"]["span_count"] == 2
+        assert by_key["t19"]["first_id"] == 38 and by_key["t19"]["last_id"] == 39
+    finally:
+        q.stop()
