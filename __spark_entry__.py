@@ -1871,6 +1871,136 @@ def _sfx_datapoints(spark, sf_dir):
     )
 
 
+def q_sapm_batches(spark, sf_dir):
+    # sapm exporter (exporter.go:96-165): spans batch per access token, the
+    # token resource attr is scrubbed from the serialized tags, and the
+    # payload is a canonical sorted span array (gzip covered in pytest —
+    # DuckDB can't gzip); token_leaked pins the scrub at the payload level
+    from opentelemetry_collector_contrib_spark.sinks import sapm
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    spans = ev.select(
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.md5(eid.cast("string").cast("binary")).alias("span_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.create_map(
+            F.lit(sapm.TOKEN_ATTR), F.concat(F.lit("tok"), (u % 3).cast("string")),
+            F.lit("service.name"), F.concat(F.lit("svc"), (u % 2).cast("string")),
+        ).alias("resource"),
+    )
+    out = sapm.sapm_batches(spans)
+    return out.select(
+        "access_token",
+        "process_tags",
+        "n_spans",
+        "n_traces",
+        F.when(
+            F.col("access_token") != "",
+            F.col("payload").contains(F.col("access_token")),
+        ).otherwise(F.lit(False)).alias("token_leaked"),
+        F.get_json_object("payload", "$[0].span_id").alias("first_span"),
+    )
+
+
+ORACLE_SAPM = """
+WITH s AS (
+  SELECT 'tok' || CAST(user_id % 3 AS VARCHAR) AS access_token,
+         'service.name=svc' || CAST(user_id % 2 AS VARCHAR) AS process_tags,
+         md5(CAST(user_id AS VARCHAR)) AS trace_id,
+         md5(CAST(event_id AS VARCHAR)) AS span_id
+  FROM events
+)
+SELECT access_token, process_tags,
+       COUNT(*) AS n_spans,
+       COUNT(DISTINCT trace_id) AS n_traces,
+       FALSE AS token_leaked,
+       (ARRAY_AGG(span_id ORDER BY trace_id, span_id))[1] AS first_span
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_newrelic_spans(spark, sf_dir):
+    # newrelic exporter (transformer.go:91-230): flat span attributes with
+    # guarded otel.* entries, span.kind lowering, override attrs winning
+    # over resource/span attrs, instrumentation.* only when non-empty
+    from opentelemetry_collector_contrib_spark.sinks import newrelic
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    spans = ev.select(
+        F.md5(eid.cast("string").cast("binary")).alias("span_id"),
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.when(eid % 3 == 0, "").otherwise("beef").alias("parent_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(et == "error", "STATUS_CODE_ERROR")
+        .when(eid % 2 == 0, "STATUS_CODE_OK")
+        .otherwise("STATUS_CODE_UNSET").alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        F.when(u % 3 == 0, "SPAN_KIND_SERVER")
+        .when(u % 3 == 1, "SPAN_KIND_CLIENT")
+        .otherwise("SPAN_KIND_UNSPECIFIED").alias("kind"),
+        (eid % 4).cast("long").alias("dropped_attributes_count"),
+        F.lit(0).cast("long").alias("dropped_events_count"),
+        F.col("ts").cast("timestamp").alias("start_ts"),
+        (
+            F.col("ts").cast("timestamp")
+            + F.make_interval(secs=(eid % 30).cast("double"))
+        ).alias("end_ts"),
+        # span attr trying to spoof the override key must be dropped
+        F.create_map(
+            F.lit("color"), et,
+            F.lit("collector.name"), F.lit("spoof"),
+        ).alias("attrs"),
+        F.create_map(
+            F.lit("service.name"), F.concat(F.lit("svc"), (u % 2).cast("string")),
+            F.lit("collector.name"), F.lit("resource-spoof"),
+        ).alias("resource"),
+        F.lit("mylib").alias("lib_name"),
+        F.when(eid % 2 == 0, "1.2.3").otherwise("").alias("lib_version"),
+    )
+    out = newrelic.newrelic_spans(spans, collector_name="otelcol-spark")
+    return out.select(
+        "span_id",
+        "trace_id",
+        "name",
+        "timestamp_ms",
+        "duration_ms",
+        F.element_at("attributes", "otel.status_code").alias("status_code"),
+        F.element_at("attributes", "otel.status_description").alias("status_desc"),
+        F.element_at("attributes", "span.kind").alias("span_kind"),
+        F.element_at("attributes", "otel.dropped_attributes_count").alias("dropped"),
+        F.element_at("attributes", "color").alias("color"),
+        F.element_at("attributes", "collector.name").alias("attr_spoof"),
+        F.element_at("common_attributes", "collector.name").alias("collector"),
+        F.element_at("common_attributes", "service.name").alias("service"),
+        F.element_at("common_attributes", "instrumentation.version").alias("lib_ver"),
+        "valid",
+    )
+
+
+ORACLE_NEWRELIC = """
+SELECT md5(CAST(event_id AS VARCHAR)) AS span_id,
+       md5(CAST(user_id AS VARCHAR)) AS trace_id,
+       'evt-' || event_type AS name,
+       CAST(epoch_ms(ts) AS BIGINT) AS timestamp_ms,
+       CAST(event_id % 30 AS BIGINT) * 1000 AS duration_ms,
+       CASE WHEN event_type = 'error' THEN 'ERROR'
+            WHEN event_id % 2 = 0 THEN 'OK' END AS status_code,
+       CASE WHEN event_type = 'error' THEN 'boom' END AS status_desc,
+       CASE WHEN user_id % 3 = 0 THEN 'server'
+            WHEN user_id % 3 = 1 THEN 'client' END AS span_kind,
+       CASE WHEN event_id % 4 > 0 THEN CAST(event_id % 4 AS VARCHAR) END AS dropped,
+       event_type AS color,
+       CAST(NULL AS VARCHAR) AS attr_spoof,
+       'otelcol-spark' AS collector,
+       'svc' || CAST(user_id % 2 AS VARCHAR) AS service,
+       CASE WHEN event_id % 2 = 0 THEN '1.2.3' END AS lib_ver,
+       TRUE AS valid
+FROM events
+"""
+
+
 def q_dynatrace_lines(spark, sf_dir):
     # Gauge + histogram ingest lines (sinks/dynatrace.py): name/key
     # normalization, quote-then-backslash value escaping, and the
@@ -2425,6 +2555,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_multi_counts": q_route_multi_counts,
         "route_multi_rows": q_route_multi_rows,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
+        "sapm_batches": q_sapm_batches,
+        "newrelic_spans": q_newrelic_spans,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -2508,6 +2640,8 @@ def oracle_sql() -> dict[str, str]:
         "route_multi_counts": ORACLE_ROUTE_MULTI_COUNTS,
         "route_multi_rows": ORACLE_ROUTE_MULTI_ROWS,
         "embedding_neardup_blocked": ORACLE_EMB_NEARDUP,
+        "sapm_batches": ORACLE_SAPM,
+        "newrelic_spans": ORACLE_NEWRELIC,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),

@@ -31,7 +31,10 @@ def upsert_attrs(df: DataFrame, attrs: dict[str, Column], override: bool) -> Dat
         elif override:
             out = out.withColumn(name, val)
         else:
-            out = out.withColumn(name, F.coalesce(F.col(name), val))
+            # backticks: otel attr names carry dots (host.name) which plain
+            # F.col would resolve as a struct-field path
+            safe = name.replace("`", "``")
+            out = out.withColumn(name, F.coalesce(F.col(f"`{safe}`"), val))
     return out
 
 

@@ -357,3 +357,50 @@ def test_combine_matched_submatch_labels(spark):
     # non-matching rows are untouched (removeMatchedMetrics keeps them in
     # the stream; combine_matched returns only the combined metric)
     assert out.count() == 2
+
+
+def test_resourcedetection_env_detector_chain(spark):
+    """env.go:55-110 + resourcedetection.go:126-133: strict env parse
+    (trim, url-unescape, stray text errors), deprecated-var fallback,
+    first-detector-wins chain merge, insert-if-absent application."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.operators import (
+        resourcedetection as rd,
+    )
+
+    assert rd.parse_env_resource("k=v") == {"k": "v"}
+    assert rd.parse_env_resource(" a = 1 , b = x%20y,c=p+q ") == {
+        "a": "1", "b": "x y", "c": "p q"
+    }
+    # values may contain spaces and '=' (the lazy value class is any
+    # ascii): "k=v extra=" is ONE pair with value "v extra="
+    assert rd.parse_env_resource("k=v extra=") == {"k": "v extra="}
+    for bad in ("junk", "k=v,,x", "k=v,junk"):
+        with _pytest.raises(ValueError):
+            rd.parse_env_resource(bad)
+
+    assert rd.env_detector({}) == {}
+    assert rd.env_detector({"OTEL_RESOURCE": "legacy=1"}) == {"legacy": "1"}
+    assert rd.env_detector(
+        {"OTEL_RESOURCE_ATTRIBUTES": "a=2", "OTEL_RESOURCE": "a=legacy"}
+    ) == {"a": "2"}
+
+    # chain: first detector wins per key (MergeResource overrideTo=false)
+    res = rd.detect_resource([
+        lambda: {"cloud.region": "us-1", "host.name": "h1"},
+        {"host.name": "h2", "deployment.env": "prod"},
+    ])
+    assert res == {
+        "cloud.region": "us-1", "host.name": "h1", "deployment.env": "prod"
+    }
+
+    # application: existing record values win under override=false
+    df = spark.createDataFrame(
+        [("r1", None), ("r2", "keep")], "id STRING, `host.name` STRING"
+    )
+    got = {
+        r["id"]: (r["host.name"], r["deployment.env"])
+        for r in rd.apply_resource(df, res).collect()
+    }
+    assert got == {"r1": ("h1", "prod"), "r2": ("keep", "prod")}

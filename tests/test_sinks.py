@@ -66,3 +66,76 @@ def test_sumologic_carbon2_and_graphite(spark):
     ).collect()
     # graphite escapes '.' and ' ' to '_' in each field
     assert gr["line"] == "req_count.x_y.h_1 7 1700000000"
+
+
+def test_sapm_gzip_roundtrip_and_token_scrub(spark):
+    """exporter.go:96-165: token-batched, token-scrubbed, gzip'd payloads.
+    gzip bytes are deterministic (mtime=0) and decompress back to the
+    canonical payload; disable_compression nulls the gzip column."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import sapm
+
+    df = spark.createDataFrame(
+        [("t1", "s2", "b", "tokA", "svc1"),
+         ("t1", "s1", "a", "tokA", "svc1"),
+         ("t2", "s3", "c", "tokB", "svc1")],
+        "trace_id STRING, span_id STRING, name STRING, tok STRING, svc STRING",
+    ).select(
+        "trace_id", "span_id", "name",
+        F.create_map(
+            F.lit(sapm.TOKEN_ATTR), F.col("tok"),
+            F.lit("service.name"), F.col("svc"),
+        ).alias("resource"),
+    )
+    out = {r["access_token"]: r for r in sapm.sapm_batches(df).collect()}
+    a = out["tokA"]
+    assert a["n_spans"] == 2 and a["n_traces"] == 1
+    # scrub: the token appears in neither tags nor payload
+    assert a["process_tags"] == "service.name=svc1"
+    assert "tokA" not in a["payload"]
+    # canonical order: spans sorted by (trace_id, span_id)
+    assert a["payload"].index('"s1"') < a["payload"].index('"s2"')
+    # deterministic gzip roundtrip
+    assert gzip.decompress(bytes(a["payload_gzip"])).decode() == a["payload"]
+    again = {
+        r["access_token"]: r for r in sapm.sapm_batches(df).collect()
+    }
+    assert bytes(again["tokA"]["payload_gzip"]) == bytes(a["payload_gzip"])
+    off = sapm.sapm_batches(df, disable_compression=True).collect()
+    assert all(r["payload_gzip"] is None for r in off)
+
+
+def test_newrelic_log_translation(spark):
+    """transformer.go:121-167: message falls back to the record name,
+    guarded trace/span/severity entries, override keys dropped."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import newrelic
+
+    df = spark.createDataFrame(
+        [("hello", "n1", "t1", "s1", "ERROR", 17, "2024-01-01 00:00:01"),
+         ("", "n2", "", "", "", 0, "2024-01-01 00:00:02")],
+        "body STRING, name STRING, trace_id STRING, span_id STRING, "
+        "severity_text STRING, severity_number INT, ts_s STRING",
+    ).select(
+        "*", F.to_timestamp("ts_s").alias("ts"),
+        F.create_map(
+            F.lit("k"), F.lit("v"),
+            F.lit("collector.name"), F.lit("spoof"),
+        ).alias("attrs"),
+    )
+    got = {r["attributes"]["name"]: r for r in newrelic.newrelic_logs(df).collect()}
+    full = got["n1"]
+    assert full["message"] == "hello"
+    assert full["attributes"]["trace.id"] == "t1"
+    assert full["attributes"]["log.level"] == "ERROR"
+    assert full["attributes"]["log.levelNum"] == "17"
+    assert full["attributes"]["k"] == "v"
+    assert "collector.name" not in full["attributes"]
+    bare = got["n2"]
+    assert bare["message"] == "n2"  # body empty -> record name
+    for absent in ("trace.id", "span.id", "log.level", "log.levelNum"):
+        assert absent not in bare["attributes"]
