@@ -2001,6 +2001,106 @@ FROM events
 """
 
 
+def q_azuremonitor_envelopes(spark, sf_dir):
+    # azuremonitor exporter (trace_to_envelope.go:53-156): Request vs
+    # RemoteDependency split by span kind (UNSPECIFIED -> INTERNAL ->
+    # InProc dependency), span-type ladder, http status override with the
+    # 100..399 success window, DD.HH:MM:SS.ffffff duration serialization,
+    # cloud role tags from service.namespace/name
+    from opentelemetry_collector_contrib_spark.sinks import azuremonitor
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    attrs = (
+        F.when(u % 4 == 0, F.create_map(
+            F.lit("http.method"), F.lit("GET"),
+            F.lit("http.route"), F.concat(F.lit("api/"), et),
+            F.lit("http.status_code"), (F.lit(200) + (eid % 3) * 150).cast("string"),
+        ))
+        .when(u % 4 == 1, F.create_map(
+            F.lit("db.system"), F.lit("postgresql"),
+        ))
+        .when(u % 4 == 2, F.create_map(
+            F.lit("faas.trigger"), F.lit("http"),
+        ))
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
+    spans = ev.select(
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.when(eid % 3 == 0, "").otherwise("beef").alias("parent_span_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(u % 3 == 0, "SPAN_KIND_SERVER")
+        .when(u % 3 == 1, "SPAN_KIND_CLIENT")
+        .otherwise("SPAN_KIND_UNSPECIFIED").alias("kind"),
+        F.when(et == "error", "STATUS_CODE_ERROR")
+        .otherwise("STATUS_CODE_UNSET").alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        F.col("ts").cast("timestamp").alias("start_ts"),
+        (
+            F.col("ts").cast("timestamp")
+            + F.make_interval(
+                days=(eid % 2).cast("int"),
+                secs=(eid % 90).cast("double") + (eid % 7).cast("double") / 1000,
+            )
+        ).alias("end_ts"),
+        attrs.alias("attrs"),
+        F.create_map(
+            F.lit("service.name"), F.concat(F.lit("svc"), (u % 2).cast("string")),
+            F.lit("service.namespace"), F.when(u % 2 == 0, F.lit("prod")),
+        ).alias("resource"),
+        F.lit("mylib").alias("lib_name"),
+        F.lit("1.0").alias("lib_version"),
+    )
+    out = azuremonitor.spans_to_envelopes(spans)
+    return out.select(
+        "envelope_name", "base_type", "time", "operation_id",
+        "operation_name", "data_name", "duration", "response_code",
+        "success", "dependency_type", "cloud_role", "span_type", "valid",
+    )
+
+
+ORACLE_AZUREMONITOR = """
+WITH s AS (
+  SELECT user_id AS u, event_id AS eid, event_type AS et, ts,
+         md5(CAST(user_id AS VARCHAR)) AS trace_id,
+         CASE WHEN user_id % 3 = 0 THEN 'server'
+              WHEN user_id % 3 = 1 THEN 'client' ELSE 'internal' END AS k,
+         CASE WHEN user_id % 4 = 0 THEN 'http'
+              WHEN user_id % 4 = 1 THEN 'database'
+              WHEN user_id % 4 = 2 THEN 'faas' ELSE 'unknown' END AS st,
+         event_id % 2 AS xd,
+         event_id % 90 AS xs,
+         event_id % 7 AS xms,
+         200 + (event_id % 3) * 150 AS http_code
+  FROM events
+)
+SELECT CASE WHEN k = 'server' THEN 'Microsoft.ApplicationInsights.Request'
+            ELSE 'Microsoft.ApplicationInsights.RemoteDependency' END AS envelope_name,
+       CASE WHEN k = 'server' THEN 'RequestData'
+            ELSE 'RemoteDependencyData' END AS base_type,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS time,
+       trace_id AS operation_id,
+       CASE WHEN k = 'server' THEN
+         CASE WHEN st = 'http' THEN 'GET /api/' || et ELSE 'evt-' || et END
+       END AS operation_name,
+       CASE WHEN st = 'http' THEN 'GET /api/' || et
+            ELSE 'evt-' || et END AS data_name,
+       printf('%02d.%02d:%02d:%02d.%06d', xd, xs // 3600, (xs % 3600) // 60,
+              xs % 60, xms * 1000) AS duration,
+       CASE WHEN st = 'http' THEN CAST(http_code AS VARCHAR)
+            WHEN et = 'error' THEN '2' ELSE '0' END AS response_code,
+       CASE WHEN st = 'http' THEN http_code <= 399
+            ELSE et != 'error' END AS success,
+       CASE WHEN k = 'server' THEN NULL
+            WHEN k = 'internal' THEN 'InProc'
+            WHEN st = 'database' THEN 'postgresql' END AS dependency_type,
+       CASE WHEN u % 2 = 0 THEN 'prod.svc0' ELSE 'svc1' END AS cloud_role,
+       st AS span_type,
+       st != 'faas' AS valid
+FROM s
+"""
+
+
 def q_dynatrace_lines(spark, sf_dir):
     # Gauge + histogram ingest lines (sinks/dynatrace.py): name/key
     # normalization, quote-then-backslash value escaping, and the
@@ -2557,6 +2657,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "sapm_batches": q_sapm_batches,
         "newrelic_spans": q_newrelic_spans,
+        "azuremonitor_envelopes": q_azuremonitor_envelopes,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -2642,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_blocked": ORACLE_EMB_NEARDUP,
         "sapm_batches": ORACLE_SAPM,
         "newrelic_spans": ORACLE_NEWRELIC,
+        "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),

@@ -139,3 +139,65 @@ def test_newrelic_log_translation(spark):
     assert bare["message"] == "n2"  # body empty -> record name
     for absent in ("trace.id", "span.id", "log.level", "log.levelNum"):
         assert absent not in bare["attributes"]
+
+
+def test_azuremonitor_envelope_semantics(spark):
+    """trace_to_envelope.go:53-156: kind normalization (UNSPECIFIED ->
+    INTERNAL -> InProc dependency), faas unsupported, duration format
+    day overflow, http success window edges."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import azuremonitor
+
+    base = dict(
+        trace_id="t", parent_span_id="p", name="op",
+        status_code="STATUS_CODE_OK", status_message="",
+        lib_name="l", lib_version="1",
+    )
+    rows = [
+        {**base, "kind": "SPAN_KIND_UNSPECIFIED", "tag": "internal",
+         "attrs": {}, "resource": {"service.name": "s"}},
+        {**base, "kind": "SPAN_KIND_SERVER", "tag": "faas",
+         "attrs": {"faas.trigger": "http"}, "resource": {}},
+        {**base, "kind": "SPAN_KIND_SERVER", "tag": "http99",
+         "attrs": {"http.method": "GET", "http.status_code": "99"},
+         "resource": {}},
+        {**base, "kind": "SPAN_KIND_SERVER", "tag": "http400",
+         "attrs": {"http.method": "GET", "http.status_code": "400"},
+         "resource": {}},
+    ]
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (r["trace_id"], r["parent_span_id"], r["name"], r["kind"],
+             r["status_code"], r["status_message"], t0,
+             t0 + datetime.timedelta(days=3, hours=4, minutes=5, seconds=6,
+                                     microseconds=7),
+             r["attrs"], r["resource"], r["lib_name"], r["lib_version"],
+             r["tag"])
+            for r in rows
+        ],
+        "trace_id STRING, parent_span_id STRING, name STRING, kind STRING, "
+        "status_code STRING, status_message STRING, start_ts TIMESTAMP, "
+        "end_ts TIMESTAMP, attrs MAP<STRING,STRING>, "
+        "resource MAP<STRING,STRING>, lib_name STRING, lib_version STRING, "
+        "tag STRING",
+    )
+    # spans_to_envelopes preserves row order (pure projection)
+    out = dict(
+        zip(
+            [x["tag"] for x in rows],
+            azuremonitor.spans_to_envelopes(df.coalesce(1)).collect(),
+        )
+    )
+    internal = out["internal"]
+    assert internal["envelope_name"].endswith("RemoteDependency")
+    assert internal["dependency_type"] == "InProc"
+    assert internal["duration"] == "03.04:05:06.000007"
+    assert out["faas"]["valid"] is False
+    # http.status_code 99 is outside 100..399 -> success False; 400 too;
+    # the code string still overrides the default
+    assert out["http99"]["response_code"] == "99" and not out["http99"]["success"]
+    assert out["http400"]["response_code"] == "400" and not out["http400"]["success"]
