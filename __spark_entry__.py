@@ -1694,6 +1694,44 @@ ORACLE_DEDUP_JACCARD_STOPGRAM = dedup.ngram_jaccard_pairs_sql(
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # duplicate-cluster resolution: stop-gram Jaccard pairs -> connected
+    # components (min-label propagation) -> every doc tagged with its
+    # cluster representative + survivor flag; the step a training-data
+    # dedup pipeline runs after any pair generator
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.5, max_doc_freq=4
+    )
+    comp = dedup.connected_components(pairs)
+    out = dedup.canonical_docs(docs, comp, "doc_id")
+    return out.select("doc_id", "cluster_rep", "keep")
+
+
+# transitive closure via recursive CTE — fine at oracle scale; the Spark
+# side is the iterative label propagation that survives web scale
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE p AS ({ORACLE_DEDUP_JACCARD_STOPGRAM}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+rep AS (
+  SELECT u AS node, MIN(LEAST(u, v)) AS label FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(rep.label, d.doc_id) AS cluster_rep,
+       COALESCE(rep.label, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN rep ON d.doc_id = rep.node
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=8, bands=4,
@@ -2658,6 +2696,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sapm_batches": q_sapm_batches,
         "newrelic_spans": q_newrelic_spans,
         "azuremonitor_envelopes": q_azuremonitor_envelopes,
+        "dedup_clusters": q_dedup_clusters,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -2744,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "sapm_batches": ORACLE_SAPM,
         "newrelic_spans": ORACLE_NEWRELIC,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),

@@ -443,3 +443,78 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
 FROM s a JOIN s b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over dup pairs.
+
+    Pair generators (ngram/minhash/simhash/embedding) emit edges; a dedup
+    pipeline then needs each document's duplicate cluster so exactly one
+    representative survives. Min-label propagation, Pregel-style: every
+    node starts labeled with itself; each round a node takes the min of
+    its own and its neighbors' labels; converged when the global label sum
+    stops falling (min-labels are monotonically non-increasing, so the
+    sum is a complete convergence witness).
+
+    Scale shape: one equi-join + one partial-aggregatable groupBy per
+    round, O(cluster diameter) rounds — dup clusters are shallow (near-dup
+    graphs are dense blobs, not paths), so a handful of rounds at any
+    corpus size. Each round's shuffle carries (node, label) pairs only —
+    never texts. For adversarial high-diameter graphs swap in the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — same DataFrame ops, fewer
+    rounds. Returns (node, label) for every node appearing in ``pairs``;
+    label = smallest node id in the component.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Attach each doc's duplicate-cluster representative (itself when it
+    has no duplicates) and flag the survivor: keep = (doc == rep). The
+    components side is the (tiny relative to the corpus) pair-graph label
+    table — broadcast when it fits, else an equi-join on id."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
+    )
+    out = docs.join(comp, id_col, "left").withColumn(
+        "cluster_rep", F.coalesce("cluster_rep", F.col(id_col))
+    )
+    return out.withColumn("keep", F.col(id_col) == F.col("cluster_rep"))

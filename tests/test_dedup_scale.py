@@ -228,3 +228,24 @@ def test_neardup_prune_bites_on_clustered_data(spark):
     # cross-cell pairs must be rejected — anything close to all-admitted
     # means the prune is broken
     assert st["allowed_cell_pairs"] < 0.5 * st["total_cell_pairs"], st
+
+
+def test_connected_components_and_canonical(spark):
+    """Multi-hop chains collapse to one cluster (min-id representative);
+    untouched docs keep themselves. 1-2-3 chain + 7-9 pair + singleton."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7)], "doc_a LONG, doc_b LONG"
+    )
+    comp = {(r["node"], r["label"]) for r in dedup.connected_components(pairs).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id LONG, text STRING"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in dedup.canonical_docs(docs, dedup.connected_components(pairs), "doc_id").collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 7: (7, True), 9: (7, False),
+    }
