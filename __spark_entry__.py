@@ -1838,6 +1838,112 @@ def q_quality_score(spark, sf_dir):
 ORACLE_QUALITY = text_fns.quality_features_sql("documents", "doc_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    # privacy scrub: typed redaction of emails/phones/IPv4s with counts —
+    # PII synthesized deterministically onto the word-soup documents so
+    # both engines see identical inputs (RE2/Java-shared regexes)
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"), d.cast("string"), F.lit("@example.com"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" at 10.0."), (d % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" tel 555-123-4567")).otherwise(F.lit("")),
+    )
+    out = text_fns.pii_scrub(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id", "text_scrubbed", "n_emails", "n_phones", "n_ips"
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH s AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+      || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{text_fns.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{text_fns.PII_PHONE_RE}', '<PHONE>', 'g'),
+    '{text_fns.PII_IP_RE}', '<IP>', 'g') AS text_scrubbed,
+  CAST(len(regexp_extract_all(text, '{text_fns.PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{text_fns.PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{text_fns.PII_IP_RE}')) AS INTEGER) AS n_ips
+FROM s
+"""
+
+
+def q_c4_clean(spark, sf_dir):
+    # C4-style cleaning (public JMLR'20 rules subset): terminal-punct +
+    # min-word + javascript line filters, lorem-ipsum / brace doc flags,
+    # min-kept-lines doc keep decision — over deterministic multi-line
+    # text synthesized from the documents table
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(" tail.")),
+        F.lit("short line."),
+        F.concat(F.substring("text", 61, 40), F.lit(" no punct")),
+        F.lit("please enable javascript to view this page."),
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" second good sentence here."),
+            F.when(d % 7 == 0, F.lit(" lorem ipsum dolor.")).otherwise(F.lit("")),
+        ),
+        F.when(d % 5 == 0, F.lit("a third good sentence appears right here.")),
+        F.when(d % 11 == 0, F.lit("stray { brace line.")),
+    )
+    out = text_fns.c4_line_filter(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id", "clean_text", "n_lines", "n_lines_kept",
+        "has_lorem", "has_brace", "keep_doc",
+    )
+
+
+ORACLE_C4_CLEAN = """
+WITH s AS (
+  SELECT doc_id, concat_ws(chr(10),
+    substr(text, 1, 60) || ' tail.',
+    'short line.',
+    substr(text, 61, 40) || ' no punct',
+    'please enable javascript to view this page.',
+    substr(text, 1, 40) || ' second good sentence here.'
+      || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor.' ELSE '' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'a third good sentence appears right here.' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'stray { brace line.' END
+  ) AS text FROM documents
+),
+k AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l ->
+      regexp_matches(l, '[.!?"'']$')
+      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM s
+)
+SELECT doc_id,
+  array_to_string(kept, chr(10)) AS clean_text,
+  CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,
+  CAST(len(kept) AS INTEGER) AS n_lines_kept,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{') AS has_brace,
+  NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+    AND len(kept) >= 3 AS keep_doc
+FROM k
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     # Gopher-style repetition filters (public Rae et al. 2021 definitions):
     # the corpus text has no newlines, so a multi-line view is synthesized
@@ -2697,6 +2803,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newrelic_spans": q_newrelic_spans,
         "azuremonitor_envelopes": q_azuremonitor_envelopes,
         "dedup_clusters": q_dedup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "c4_clean": q_c4_clean,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -2784,6 +2892,8 @@ def oracle_sql() -> dict[str, str]:
         "newrelic_spans": ORACLE_NEWRELIC,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "pii_scrub": ORACLE_PII_SCRUB,
+        "c4_clean": ORACLE_C4_CLEAN,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),

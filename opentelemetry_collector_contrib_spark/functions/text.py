@@ -313,3 +313,75 @@ SELECT f.doc AS {id_col},
   ROUND(COALESCE(p.dup_chars / f.chars, 0.0), 6) AS dup_ngram_char_frac
 FROM linefeat f LEFT JOIN per_doc p USING (doc)
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + C4-style line filtering (training-data cleaning ops)
+# ---------------------------------------------------------------------------
+
+# RE2/Java-compatible patterns (no backrefs/lookaround) so the Spark plan
+# and the DuckDB oracle run the SAME expressions
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / NANP-style phone numbers with typed
+    placeholders and count the redactions.  Email replacement runs first
+    so the IP pattern cannot re-match the dotted host part.  Pure JVM
+    regexp_replace / regexp_extract_all — one codegen'd map stage, the
+    standard pre-training privacy scrub."""
+    col = F.col(text_col)
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(col, F.lit(f"({pat})"), 1))
+
+    scrubbed = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
+    return docs.withColumns(
+        {
+            "text_scrubbed": scrubbed,
+            "n_emails": n(PII_EMAIL_RE),
+            "n_phones": n(PII_PHONE_RE),
+            "n_ips": n(PII_IP_RE),
+        }
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al., "Exploring the Limits of Transfer
+    Learning...", JMLR'20 §2.2 — public rules): keep only lines that end
+    in terminal punctuation, have >= ``min_words`` words, and don't
+    mention javascript; flag documents carrying "lorem ipsum" or a curly
+    brace, and require >= ``min_kept_lines`` surviving lines.  All
+    higher-order array functions over one split — no UDF, no shuffle."""
+    col = F.col(text_col)
+    lines = F.split(col, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?\"']$")
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    has_lorem = F.lower(col).contains("lorem ipsum")
+    has_brace = col.contains("{")
+    n_kept = F.size(kept)
+    return docs.withColumns(
+        {
+            "clean_text": F.array_join(kept, "\n"),
+            "n_lines": F.size(lines),
+            "n_lines_kept": n_kept,
+            "has_lorem": has_lorem,
+            "has_brace": has_brace,
+            "keep_doc": ~has_lorem
+            & ~has_brace
+            & (n_kept >= F.lit(min_kept_lines)),
+        }
+    )

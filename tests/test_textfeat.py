@@ -77,3 +77,38 @@ def test_repetition_features_matches_duckdb_oracle(spark):
     assert set(got) == set(want)
     mism = [k for k in got if got[k] != want[k]]
     assert not mism, (mism[:3], got[mism[0]], want[mism[0]]) if mism else None
+
+
+def test_pii_scrub_and_c4_filter_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.functions import text as tf
+
+    df = spark.createDataFrame(
+        [(1, "write a@b.co or c.d+x@e.org, call 555-123-4567, host 10.0.0.1"),
+         (2, "nothing here")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in tf.pii_scrub(df).collect()}
+    r1 = out[1]
+    assert r1["n_emails"] == 2 and r1["n_phones"] == 1 and r1["n_ips"] == 1
+    assert r1["text_scrubbed"] == (
+        "write <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"
+    )
+    r2 = out[2]
+    assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
+    assert r2["text_scrubbed"] == "nothing here"
+
+    c4 = spark.createDataFrame(
+        [(1, "good sentence with enough words here.\nshort one.\n"
+             "no terminal punctuation on this line\n"
+             "this page needs JavaScript enabled to work.\n"
+             "another quite acceptable long sentence right here!\n"
+             'a quoted ending counts as terminal too"')],
+        "doc_id LONG, text STRING",
+    )
+    row = tf.c4_line_filter(c4, min_kept_lines=3).collect()[0]
+    assert row["n_lines"] == 6
+    # kept: 1st, 5th, 6th (quote-terminal); dropped: short, no-punct, js
+    assert row["n_lines_kept"] == 3 and row["keep_doc"]
+    assert row["clean_text"].splitlines()[1].endswith("here!")
