@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "tailsample",
     "groupbytrace_sessions",
     "dedup_exact",
+    "dedup_clusters",
     # the stop-gram variant is the scale path (hot shingles capped before
     # the self-join); the unfiltered all-pairs variant stays a correctness
     # query but is not a headline number
@@ -56,6 +57,8 @@ HEADLINE_QUERIES = [
     "lang_id",
     "quality_score",
     "token_count",
+    "pii_scrub",
+    "c4_clean",
     "tpch_q1",
     "tpch_q3_top10",
     # wire-format decoders (pure JVM map stages)
