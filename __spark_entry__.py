@@ -78,12 +78,23 @@ def _tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.build_tagged(spark, _pages(spark, sf_dir))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """A small parquet reads as ONE split, which serializes every map
+    stage built on it (measured: influx_decode spent 10.5 of 11 s in a
+    single-task parse). Spread it to the session's parallelism — a no-op
+    at real scale where the scan already has enough splits."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
