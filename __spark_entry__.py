@@ -1755,14 +1755,19 @@ ORACLE_DEDUP_MINHASH = dedup.minhash_lsh_pairs_sql(
 )
 
 
+# 48-bit signatures: at 16 bits a (chunk, value) bucket holds corpus/2^5
+# docs and random pairs pass hamming<=2 at ~0.2% — the banded join
+# degenerates quadratic and the "near-dup" relation is mostly hash noise.
+# 48 bits / hamming<=4 keeps buckets at corpus/2^9 and makes the relation
+# mean document similarity (the industry-standard simhash width regime).
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", bits=16, max_hamming=2
+        _docs(spark, sf_dir), "doc_id", "text", bits=48, max_hamming=4
     )
 
 
 ORACLE_DEDUP_SIMHASH = dedup.simhash_pairs_sql(
-    "documents", "doc_id", "text", bits=16, max_hamming=2
+    "documents", "doc_id", "text", bits=48, max_hamming=4
 )
 
 
@@ -1770,7 +1775,7 @@ def q_dedup_simhash_banded(spark, sf_dir):
     # pigeonhole-banded candidate gen + verify: same pairs as the exact
     # join (shares the exact oracle), but scales linearly
     return dedup.simhash_pairs_banded(
-        _docs(spark, sf_dir), "doc_id", "text", bits=16, max_hamming=2
+        _docs(spark, sf_dir), "doc_id", "text", bits=48, max_hamming=4
     )
 
 
