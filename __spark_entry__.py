@@ -1886,15 +1886,23 @@ WITH s AS (
     || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-123-4567' ELSE '' END AS text
   FROM documents
 )
+-- counts mirror the cascade: each count runs on the text its replacement
+-- pass sees, so n_<kind> == placeholders written (see text.pii_scrub)
+, st AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '{text_fns.PII_EMAIL_RE}', '<EMAIL>', 'g') AS after_email
+  FROM s
+), st2 AS (
+  SELECT doc_id, text, after_email,
+    regexp_replace(after_email, '{text_fns.PII_PHONE_RE}', '<PHONE>', 'g') AS after_phone
+  FROM st
+)
 SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(text,
-    '{text_fns.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-    '{text_fns.PII_PHONE_RE}', '<PHONE>', 'g'),
-    '{text_fns.PII_IP_RE}', '<IP>', 'g') AS text_scrubbed,
+  regexp_replace(after_phone, '{text_fns.PII_IP_RE}', '<IP>', 'g') AS text_scrubbed,
   CAST(len(regexp_extract_all(text, '{text_fns.PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{text_fns.PII_PHONE_RE}')) AS INTEGER) AS n_phones,
-  CAST(len(regexp_extract_all(text, '{text_fns.PII_IP_RE}')) AS INTEGER) AS n_ips
-FROM s
+  CAST(len(regexp_extract_all(after_email, '{text_fns.PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(after_phone, '{text_fns.PII_IP_RE}')) AS INTEGER) AS n_ips
+FROM st2
 """
 
 
@@ -2238,7 +2246,8 @@ SELECT CASE WHEN k = 'server' THEN 'Microsoft.ApplicationInsights.Request'
             ELSE 'Microsoft.ApplicationInsights.RemoteDependency' END AS envelope_name,
        CASE WHEN k = 'server' THEN 'RequestData'
             ELSE 'RemoteDependencyData' END AS base_type,
-       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS time,
+       replace(regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'),
+                              '0+Z$', 'Z'), '.Z', 'Z') AS time,
        trace_id AS operation_id,
        CASE WHEN k = 'server' THEN
          CASE WHEN st = 'http' THEN 'GET /api/' || et ELSE 'evt-' || et END

@@ -329,23 +329,28 @@ PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4s / NANP-style phone numbers with typed
     placeholders and count the redactions.  Email replacement runs first
-    so the IP pattern cannot re-match the dotted host part.  Pure JVM
-    regexp_replace / regexp_extract_all — one codegen'd map stage, the
-    standard pre-training privacy scrub."""
+    so the IP pattern cannot re-match the dotted host part.  Each count is
+    taken on the SAME text its replacement pass sees (raw for emails,
+    email-scrubbed for phones, email+phone-scrubbed for IPs), so
+    ``n_<kind>`` equals the number of ``<KIND>`` placeholders written — a
+    privacy audit can reconcile counts against redactions exactly (an
+    IPv4 inside an email host is redacted as part of the email, counted
+    once, as an email).  Pure JVM regexp_replace / regexp_extract_all —
+    one codegen'd map stage, the standard pre-training privacy scrub."""
     col = F.col(text_col)
 
-    def n(pat: str):
-        return F.size(F.regexp_extract_all(col, F.lit(f"({pat})"), 1))
+    def n(src, pat: str):
+        return F.size(F.regexp_extract_all(src, F.lit(f"({pat})"), 1))
 
-    scrubbed = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
-    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
-    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
+    after_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(after_phone, PII_IP_RE, "<IP>")
     return docs.withColumns(
         {
             "text_scrubbed": scrubbed,
-            "n_emails": n(PII_EMAIL_RE),
-            "n_phones": n(PII_PHONE_RE),
-            "n_ips": n(PII_IP_RE),
+            "n_emails": n(col, PII_EMAIL_RE),
+            "n_phones": n(after_email, PII_PHONE_RE),
+            "n_ips": n(after_phone, PII_IP_RE),
         }
     )
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_contrib_spark import cacheutil
+
 
 def md5_int(col: Column, salt: str = "") -> Column:
     """60-bit integer hash shared with DuckDB."""
@@ -457,9 +459,11 @@ def connected_components(
     pipeline then needs each document's duplicate cluster so exactly one
     representative survives. Min-label propagation, Pregel-style: every
     node starts labeled with itself; each round a node takes the min of
-    its own and its neighbors' labels; converged when the global label sum
-    stops falling (min-labels are monotonically non-increasing, so the
-    sum is a complete convergence witness).
+    its own and its neighbors' labels; converged when no node's label
+    changed this round (counted by joining the new label table against
+    the old — type-agnostic, so string/hash ids work and there is no
+    64-bit-sum overflow; min-labels are monotone under any orderable id
+    type, so zero changes is a complete convergence witness).
 
     Scale shape: one equi-join + one partial-aggregatable groupBy per
     round, O(cluster diameter) rounds — dup clusters are shallow (near-dup
@@ -481,7 +485,6 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -492,14 +495,26 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # Type-agnostic convergence witness: one equi-join on node (both
+        # sides already hash-partitioned on it from the groupBy) counting
+        # rows whose label moved this round.  sum(label) would return
+        # NULL for string ids and can overflow for 64-bit hash ids.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
-    return labels
+    # the returned label table stays persisted for the caller's joins;
+    # register it so the NEXT connected_components call (or an explicit
+    # cacheutil.release_all) evicts it instead of leaking blocks across
+    # repeated invocations in one session
+    return cacheutil.register(labels, key="cc_labels")
 
 
 def canonical_docs(

@@ -135,8 +135,21 @@ def spans_to_envelopes(
         F.when(is_request, F.lit("RequestData"))
         .otherwise(F.lit("RemoteDependencyData"))
         .alias("base_type"),
-        F.date_format(F.col("start_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")
-        .alias("time"),
+        # RFC3339Nano like time_utils.go: fractional seconds with trailing
+        # zeros trimmed and the dot dropped for whole-second stamps (Go's
+        # RFC3339Nano format does both).  Micros is Spark timestamp
+        # precision — nanosecond inputs don't exist in this engine.
+        F.regexp_replace(
+            F.regexp_replace(
+                F.date_format(
+                    F.col("start_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+                ),
+                r"(\.\d*?)0*(Z|[+-]\d{2}:\d{2})$",
+                "$1$2",
+            ),
+            r"\.(Z|[+-]\d{2}:\d{2})$",
+            "$1",
+        ).alias("time"),
         F.col("trace_id").alias("operation_id"),
         F.col("parent_span_id").alias("operation_parent_id"),
         F.when(is_request, data_name).alias("operation_name"),

@@ -89,14 +89,17 @@ def newrelic_spans(
         F.col(attrs_col),
         lambda k, _v: ~k.isin(*[F.lit(x) for x in OVERRIDE_KEYS]),
     )
+    # transformer.go SpanAttributes writes the span's OWN attributes into
+    # the Go map LAST, so an own attr named otel.status_code / span.kind /
+    # ... overwrites the computed entry.  Mirror that write order: drop
+    # colliding computed entries and let the own attr win.
     attributes = F.map_from_entries(
         F.concat(
-            F.map_entries(base),
-            F.map_entries(
-                F.map_filter(
-                    own, lambda k, _v: ~F.array_contains(F.map_keys(base), k)
-                )
+            F.filter(
+                F.map_entries(base),
+                lambda e: ~F.array_contains(F.map_keys(own), e["key"]),
             ),
+            F.map_entries(own),
         )
     )
 

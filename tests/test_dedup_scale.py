@@ -249,3 +249,34 @@ def test_connected_components_and_canonical(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         5: (5, True), 7: (7, True), 9: (7, False),
     }
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids (content hashes / urls) must converge correctly:
+    sum('label') returns NULL for strings, so the old sum-based witness
+    stopped after one propagation round and split multi-hop chains. A
+    5-node path needs several rounds to collapse to its min label."""
+    pairs = spark.createDataFrame(
+        [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("y", "z")],
+        "doc_a STRING, doc_b STRING",
+    )
+    comp = {(r["node"], r["label"]) for r in dedup.connected_components(pairs).collect()}
+    assert comp == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("e", "a"),
+        ("y", "y"), ("z", "y"),
+    }
+
+
+def test_connected_components_large_hash_ids(spark):
+    """64-bit hash ids near the long extremes: the per-round witness must
+    not rely on sum(label), which can overflow/abort under ANSI."""
+    big = 2**63 - 1
+    pairs = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2), (-big, -big + 1)],
+        "doc_a LONG, doc_b LONG",
+    )
+    comp = {(r["node"], r["label"]) for r in dedup.connected_components(pairs).collect()}
+    assert comp == {
+        (big, big - 2), (big - 1, big - 2), (big - 2, big - 2),
+        (-big, -big), (-big + 1, -big),
+    }

@@ -201,3 +201,66 @@ def test_azuremonitor_envelope_semantics(spark):
     # the code string still overrides the default
     assert out["http99"]["response_code"] == "99" and not out["http99"]["success"]
     assert out["http400"]["response_code"] == "400" and not out["http400"]["success"]
+    # RFC3339Nano envelope time (time_utils.go): whole-second start stamp
+    # carries no fractional part, dot dropped like Go's format
+    assert out["internal"]["time"] == "2024-01-01T00:00:00Z"
+
+
+def test_azuremonitor_fractional_envelope_time(spark):
+    """trace_to_envelope.go:77 formats envelope time as RFC3339Nano —
+    sub-second start stamps keep their fraction with trailing zeros
+    trimmed, exactly as Go renders them."""
+    import datetime
+
+    from opentelemetry_collector_contrib_spark.sinks import azuremonitor
+
+    t = datetime.datetime(2024, 1, 1, 12, 30, 5, 640140)
+    df = spark.createDataFrame(
+        [("t", "p", "op", "SPAN_KIND_SERVER", "STATUS_CODE_OK", "",
+          t, t + datetime.timedelta(seconds=1), {}, {}, "l", "1")],
+        "trace_id STRING, parent_span_id STRING, name STRING, kind STRING, "
+        "status_code STRING, status_message STRING, start_ts TIMESTAMP, "
+        "end_ts TIMESTAMP, attrs MAP<STRING,STRING>, "
+        "resource MAP<STRING,STRING>, lib_name STRING, lib_version STRING",
+    )
+    row = azuremonitor.spans_to_envelopes(df).collect()[0]
+    # Go: time.Unix(..., 640140000).UTC().Format(time.RFC3339Nano)
+    # == "2024-01-01T12:30:05.64014Z" (trailing zero trimmed)
+    assert row["time"] == "2024-01-01T12:30:05.64014Z"
+
+
+def test_newrelic_own_attr_overrides_computed(spark):
+    """transformer.go SpanAttributes writes the span's own attributes into
+    the Go map LAST — a span attr named otel.status_code / span.kind must
+    overwrite the computed entry (not be dropped)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import newrelic
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("s1", "t1", "", "op", "STATUS_CODE_ERROR", "boom",
+          "SPAN_KIND_SERVER", 2, 0, t0, t0)],
+        "span_id STRING, trace_id STRING, parent_id STRING, name STRING, "
+        "status_code STRING, status_message STRING, kind STRING, "
+        "dropped_attributes_count LONG, dropped_events_count LONG, "
+        "start_ts TIMESTAMP, end_ts TIMESTAMP",
+    ).select(
+        "*",
+        F.create_map(
+            F.lit("otel.status_code"), F.lit("MY_OWN"),
+            F.lit("span.kind"), F.lit("my_kind"),
+            F.lit("plain"), F.lit("v"),
+        ).alias("attrs"),
+        F.create_map().cast("map<string,string>").alias("resource"),
+    ).withColumn("lib_name", F.lit("")).withColumn("lib_version", F.lit(""))
+    row = newrelic.newrelic_spans(df).collect()[0]
+    attrs = row["attributes"]
+    assert attrs["otel.status_code"] == "MY_OWN"
+    assert attrs["span.kind"] == "my_kind"
+    assert attrs["plain"] == "v"
+    # non-colliding computed entries still present
+    assert attrs["otel.status_description"] == "boom"
+    assert attrs["otel.dropped_attributes_count"] == "2"

@@ -99,6 +99,24 @@ def test_pii_scrub_and_c4_filter_semantics(spark):
     assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
     assert r2["text_scrubbed"] == "nothing here"
 
+
+def test_pii_scrub_counts_equal_redactions(spark):
+    """An IPv4 inside an email host is redacted once (as the email) and
+    must NOT inflate n_ips: every count runs on the text the matching
+    replacement pass sees, so count == placeholders written per kind."""
+    from opentelemetry_collector_contrib_spark.functions import text as tf
+
+    df = spark.createDataFrame(
+        [(1, "mail root@10.0.0.1.example.com plus bare 192.168.0.1")],
+        "doc_id LONG, text STRING",
+    )
+    r = tf.pii_scrub(df).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_ips"] == 1  # only the bare IP; the in-email one is gone
+    assert r["text_scrubbed"] == "mail <EMAIL> plus bare <IP>"
+    assert r["text_scrubbed"].count("<IP>") == r["n_ips"]
+    assert r["text_scrubbed"].count("<EMAIL>") == r["n_emails"]
+
     c4 = spark.createDataFrame(
         [(1, "good sentence with enough words here.\nshort one.\n"
              "no terminal punctuation on this line\n"
