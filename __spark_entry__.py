@@ -26,6 +26,7 @@ from opentelemetry_collector_contrib_spark.sinks import (
     awsxray, datadog, dynatrace, honeycomb, loki,
 )
 from opentelemetry_collector_contrib_spark.sources import splunkhec, syslog
+from opentelemetry_collector_contrib_spark.sources import awsxray as awsxray_rx
 from opentelemetry_collector_contrib_spark.sources import text as src_text
 from opentelemetry_collector_contrib_spark.operators import (
     dedup,
@@ -2626,6 +2627,178 @@ FROM attrs
 """
 
 
+def q_xray_decode(spark, sf_dir):
+    # awsxray RECEIVER (sources/awsxray.py — the inverse of the exporter;
+    # receiver/awsxrayreceiver/internal/translator/translator.go:37):
+    # synthesizes 3-level nested X-Ray segment documents (root SERVER +
+    # namespace CLIENT subsegment + namespace-less INTERNAL leaf) with
+    # http/cause/annotations/metadata/aws blocks and flattens them back
+    # to span rows; ~9% of roots carry an undecodable trace id (valid
+    # flag), error roots carry exception-object causes, every 13th other
+    # root a bare exception-id cause.
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    hex8 = F.format_string("%08x", (F.lit(_XRAY_BASE) + eid % 3600).cast("int"))
+    md24 = F.substring(F.md5(eid.cast("string").cast("binary")), 1, 24)
+    trace = F.when(eid % 11 == 0, F.lit("1-dead")).otherwise(
+        F.concat(F.lit("1-"), hex8, F.lit("-"), md24))
+    rid = F.substring(F.md5(F.concat(F.lit("r"), eid.cast("string"))
+                            .cast("binary")), 1, 16)
+    aid = F.substring(F.md5(F.concat(F.lit("a"), eid.cast("string"))
+                            .cast("binary")), 1, 16)
+    bid = F.substring(F.md5(F.concat(F.lit("b"), eid.cast("string"))
+                            .cast("binary")), 1, 16)
+    has_http_req = et.isin("click", "view")
+    status_val = F.when(et == "error", F.lit(400) + eid % 150) \
+                  .when(has_http_req, F.lit(200))
+    request = F.when(
+        has_http_req | (u % 5 == 0),
+        F.struct(
+            F.when(has_http_req, F.lit("GET")).alias("method"),
+            F.when(u % 5 == 0, F.lit("9.9.9.9")).alias("client_ip"),
+        ))
+    http = F.when(
+        request.isNotNull() | status_val.isNotNull(),
+        F.struct(
+            request.alias("request"),
+            F.when(status_val.isNotNull(),
+                   F.struct(status_val.cast("long").alias("status"))
+                   ).alias("response"),
+        ))
+    head = F.to_json(F.struct(
+        F.concat(F.lit("root-"), et).alias("name"),
+        rid.alias("id"),
+        trace.alias("trace_id"),
+        eid.cast("double").alias("start_time"),
+        (eid.cast("double") + 0.5).alias("end_time"),
+        F.when(et == "signup", F.concat(F.lit("u"), u)).alias("user"),
+        http.alias("http"),
+        F.struct(
+            F.struct(F.lit("X-Ray for Go").alias("sdk"),
+                     F.concat(F.lit("1."), u % 2).alias("sdk_version"))
+             .alias("xray"),
+            F.concat(F.lit("acct"), u % 4).alias("account_id"),
+        ).alias("aws"),
+        F.create_map(
+            F.lit("tier"), F.concat(F.lit("gold"), u % 3),
+            F.lit("n"), (eid % 5).cast("string"),
+        ).alias("annotations"),
+    ))
+    cause_raw = (
+        F.when(et == "error", F.concat(
+            F.lit(',"cause":{"exceptions":[{"id":"00000000000000ff",'
+                  '"message":"boom","type":"Err","stack":[{"path":"S.java",'
+                  '"line":'), (eid % 9).cast("string"),
+            F.lit(',"label":"S.run"}]}]}')))
+        .when(eid % 13 == 0, F.lit(',"cause":"0123456789abcdef"'))
+        .otherwise(F.lit("")))
+    sub2 = F.to_json(F.struct(
+        F.lit("conn").alias("name"), bid.alias("id"),
+        eid.cast("double").alias("start_time")))
+    sub1_head = F.to_json(F.struct(
+        F.lit("DynamoDB").alias("name"), aid.alias("id"),
+        eid.cast("double").alias("start_time"),
+        (eid.cast("double") + 0.25).alias("end_time"),
+        F.when(u % 2 == 0, "aws").otherwise("remote").alias("namespace"),
+        F.struct(
+            F.lit("GetItem").alias("operation"),
+            F.concat(F.lit("t"), u % 3).alias("table_name"),
+            F.lit("us-east-1").alias("region"),
+            (eid % 3).cast("long").alias("retries"),
+        ).alias("aws")))
+    # assemble: strip each head's closing brace and append the raw blocks
+    # (to_json cannot embed raw JSON text, and the cause field's type
+    # varies per row — string vs object — so those blocks concat in raw)
+    sub1_full = F.concat(
+        sub1_head.substr(F.lit(1), F.length(sub1_head) - 1),
+        F.lit(',"subsegments":['), sub2, F.lit("]}"))
+    root = F.concat(
+        head.substr(F.lit(1), F.length(head) - 1),
+        cause_raw,
+        F.lit(',"metadata":{"m":{"a":'), (u % 7).cast("string"),
+        F.lit('}},"subsegments":['), sub1_full, F.lit("]}"))
+    docs = ev.select(root.alias("doc"))
+    out = awsxray_rx.segments_to_spans(docs, max_depth=3)
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "status_code", "status_message",
+        F.unix_millis("start_ts").alias("start_ms"),
+        F.unix_millis("end_ts").alias("end_ms"),
+        F.element_at("attrs", "tier").alias("tier"),
+        F.element_at("attrs", "n").alias("n_anno"),
+        F.element_at("attrs", "aws.xray.metadata.m").alias("meta_m"),
+        F.element_at("attrs", "enduser.id").alias("enduser"),
+        F.element_at("attrs", "http.client_ip").alias("client_ip"),
+        F.element_at("attrs", "http.status_code").alias("http_status"),
+        F.element_at("attrs", "aws.service").alias("aws_service"),
+        F.element_at("attrs", "aws.operation").alias("aws_op"),
+        F.element_at("attrs", "aws.xray.retries").alias("retries"),
+        F.element_at("resource", "cloud.provider").alias("provider"),
+        F.element_at("resource", "telemetry.sdk.language").alias("sdk_lang"),
+        F.element_at("resource", "cloud.account.id").alias("acct"),
+        F.element_at(F.col("events")[0]["attrs"], "exception.message")
+         .alias("exc_msg"),
+        F.element_at(F.col("events")[0]["attrs"], "exception.stacktrace")
+         .alias("exc_stack"),
+        "valid",
+    )
+
+
+ORACLE_XRAY_DECODE = f"""
+WITH e AS (
+  SELECT user_id AS u, event_id AS eid, event_type AS et,
+         eid % 11 <> 0 AS vt,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE printf('%08x', {_XRAY_BASE} + event_id % 3600)
+                   || substr(md5(CAST(event_id AS VARCHAR)), 1, 24)
+         END AS tid,
+         substr(md5('r' || CAST(event_id AS VARCHAR)), 1, 16) AS rid,
+         substr(md5('a' || CAST(event_id AS VARCHAR)), 1, 16) AS aid,
+         substr(md5('b' || CAST(event_id AS VARCHAR)), 1, 16) AS bid,
+         CASE WHEN event_type = 'error' THEN 400 + event_id % 150
+              WHEN event_type IN ('click','view') THEN 200 END AS hst,
+         'acct' || CAST(user_id % 4 AS VARCHAR) AS acct,
+         CASE WHEN event_type = 'error' THEN 'java' ELSE 'Go' END AS lang
+  FROM events
+)
+SELECT tid AS trace_id, rid AS span_id, NULL AS parent_span_id,
+       'root-' || et AS name, 'SERVER' AS kind,
+       CASE WHEN et = 'error' OR eid % 13 = 0 THEN 'ERROR'
+            ELSE 'UNSET' END AS status_code,
+       CASE WHEN et <> 'error' AND eid % 13 = 0
+            THEN '0123456789abcdef' END AS status_message,
+       eid * 1000 AS start_ms, eid * 1000 + 500 AS end_ms,
+       'gold' || CAST(u % 3 AS VARCHAR) AS tier,
+       CAST(eid % 5 AS VARCHAR) AS n_anno,
+       '{{"a":' || CAST(u % 7 AS VARCHAR) || '}}' AS meta_m,
+       CASE WHEN et = 'signup' THEN 'u' || CAST(u AS VARCHAR) END AS enduser,
+       CASE WHEN u % 5 = 0 THEN '9.9.9.9' END AS client_ip,
+       CAST(hst AS VARCHAR) AS http_status,
+       NULL AS aws_service, NULL AS aws_op, NULL AS retries,
+       'aws' AS provider, lang AS sdk_lang, acct,
+       CASE WHEN et = 'error' THEN 'boom' END AS exc_msg,
+       CASE WHEN et = 'error' THEN 'Err: boom' || chr(10) || chr(9)
+            || 'at S.run(S.java: ' || CAST(eid % 9 AS VARCHAR) || ')'
+            || chr(10) END AS exc_stack,
+       vt AS valid
+FROM e
+UNION ALL
+SELECT tid, aid, rid, 'DynamoDB', 'CLIENT', 'UNSET', NULL,
+       eid * 1000, eid * 1000 + 250,
+       NULL, NULL, NULL, NULL, NULL, NULL,
+       CASE WHEN u % 2 = 0 THEN 'DynamoDB' END,
+       'GetItem', CAST(eid % 3 AS VARCHAR),
+       'aws', lang, acct, NULL, NULL, vt
+FROM e
+UNION ALL
+SELECT tid, bid, aid, 'conn', 'INTERNAL', 'UNSET', NULL,
+       eid * 1000, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       'aws', lang, acct, NULL, NULL, vt
+FROM e
+"""
+
+
 def q_signalfx_translate(spark, sf_dir):
     # Chains 9 of the 13 translator.go actions end-to-end; see
     # operators/signalfx.py docstring for per-action reference lines.
@@ -2830,6 +3003,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pii_scrub": q_pii_scrub,
         "c4_clean": q_c4_clean,
+        # --- block 4b: new in r4 ---
+        "xray_decode": q_xray_decode,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -2919,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "pii_scrub": ORACLE_PII_SCRUB,
         "c4_clean": ORACLE_C4_CLEAN,
+        "xray_decode": ORACLE_XRAY_DECODE,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),
