@@ -2922,6 +2922,63 @@ FROM lagged WHERE prev IS NOT NULL
 """
 
 
+def q_signalfx_decode(spark, sf_dir):
+    # signalfxv2_to_metricdata.go:42-199 — SFx v2 datapoint → metric rows:
+    # GAUGE→gauge (no temporality), COUNTER→DELTA sum, CUMULATIVE_COUNTER→
+    # CUMULATIVE sum, double datum wins over int, nil-datum / unknown-type
+    # points dropped, ms→ns timestamps. Input rotates all 4 type branches
+    # and nulls each datum on a different stride so every fillInType arm
+    # (incl. both drop reasons) appears in the table.
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    dps = ev.select(
+        F.concat(F.lit("app."), "event_type").alias("metric"),
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+        ).alias("dims"),
+        F.when(eid % 5 != 0, eid % 1000).alias("value_int"),
+        F.when(eid % 3 != 0, F.round("value", 2)).alias("value_double"),
+        F.element_at(
+            F.array(F.lit("GAUGE"), F.lit("COUNTER"),
+                    F.lit("CUMULATIVE_COUNTER"), F.lit("ENUM")),
+            (eid % 4).cast("int") + 1,
+        ).alias("metric_type"),
+        eid.alias("ts"),
+    )
+    out = signalfx.datapoints_to_metrics(dps)
+    return out.select(
+        "name", "data_type", "temporality", "is_monotonic", "ts_ns",
+        "value_int", "value_double",
+        F.element_at("labels", "host").alias("host"),
+    )
+
+
+ORACLE_SFX_DECODE = """
+WITH dp AS (
+  SELECT 'app.' || event_type AS metric,
+         'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+         CASE WHEN event_id % 5 <> 0 THEN event_id % 1000 END AS vi,
+         CASE WHEN event_id % 3 <> 0 THEN ROUND(value, 2) END AS vd,
+         ['GAUGE','COUNTER','CUMULATIVE_COUNTER','ENUM'][CAST(event_id % 4 AS INT) + 1] AS mt,
+         event_id AS ts
+  FROM events
+)
+SELECT metric AS name,
+       (CASE WHEN vd IS NOT NULL THEN 'double' ELSE 'int' END) || '_' ||
+       (CASE WHEN mt = 'GAUGE' THEN 'gauge' ELSE 'sum' END) AS data_type,
+       CASE WHEN mt = 'COUNTER' THEN 'DELTA'
+            WHEN mt = 'CUMULATIVE_COUNTER' THEN 'CUMULATIVE' END AS temporality,
+       CASE WHEN mt IN ('COUNTER','CUMULATIVE_COUNTER') THEN TRUE END AS is_monotonic,
+       ts * 1000000 AS ts_ns,
+       CASE WHEN vd IS NULL THEN vi END AS value_int,
+       vd AS value_double,
+       host
+FROM dp
+WHERE (vi IS NOT NULL OR vd IS NOT NULL)
+  AND mt IN ('GAUGE','COUNTER','CUMULATIVE_COUNTER')
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3005,6 +3062,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         # --- block 4b: new in r4 ---
         "xray_decode": q_xray_decode,
+        "signalfx_decode": q_signalfx_decode,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -3095,6 +3153,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": ORACLE_PII_SCRUB,
         "c4_clean": ORACLE_C4_CLEAN,
         "xray_decode": ORACLE_XRAY_DECODE,
+        "signalfx_decode": ORACLE_SFX_DECODE,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),

@@ -322,6 +322,60 @@ def translate_datapoints(df: DataFrame, rules: list[dict]) -> DataFrame:
     return out
 
 
+def datapoints_to_metrics(df: DataFrame) -> DataFrame:
+    """SignalFx v2 datapoints → OTel-style metric rows — the RECEIVER
+    side (receiver/signalfxreceiver/signalfxv2_to_metricdata.go:42-199),
+    the inverse of this module's exporter-direction output model.
+
+    Per signalFxV2ToMetrics/fillInType:
+      - GAUGE             → double_gauge / int_gauge (no temporality)
+      - COUNTER           → double_sum / int_sum, DELTA, monotonic
+      - CUMULATIVE_COUNTER→ double_sum / int_sum, CUMULATIVE, monotonic
+      - the DOUBLE datum wins when both are set (fillInType checks
+        DoubleValue first); a datapoint with neither datum, or an
+        unknown metric type, is DROPPED (see :func:`decode_dropped`)
+      - timestamps convert millis → nanos (dpTimestamp)
+
+    One codegen'd projection + filter — no UDF, no shuffle."""
+    has_double = F.col("value_double").isNotNull()
+    has_int = F.col("value_int").isNotNull()
+    width = F.when(has_double, "double").when(has_int, "int")
+    family = (
+        F.when(F.col("metric_type") == "GAUGE", "gauge")
+        .when(F.col("metric_type").isin("COUNTER", "CUMULATIVE_COUNTER"), "sum")
+    )
+    return (
+        df.filter((has_double | has_int) & family.isNotNull())
+        .select(
+            F.col("metric").alias("name"),
+            F.concat(width, F.lit("_"), family).alias("data_type"),
+            F.when(F.col("metric_type") == "COUNTER", "DELTA")
+            .when(F.col("metric_type") == "CUMULATIVE_COUNTER", "CUMULATIVE")
+            .alias("temporality"),
+            F.when(family == "sum", F.lit(True)).alias("is_monotonic"),
+            (F.col("ts") * F.lit(1_000_000)).alias("ts_ns"),
+            F.when(~has_double, F.col("value_int")).alias("value_int"),
+            F.when(has_double, F.col("value_double")).alias("value_double"),
+            F.col("dims").alias("labels"),
+        )
+    )
+
+
+def decode_dropped(df: DataFrame) -> DataFrame:
+    """Companion diagnostic: datapoints signalFxV2ToMetrics would drop,
+    keyed by reason (nil datum vs unknown metric type) — the receiver
+    logs these and reports numDroppedDataPoints."""
+    has_datum = F.col("value_double").isNotNull() | F.col("value_int").isNotNull()
+    known = F.col("metric_type").isin("GAUGE", "COUNTER", "CUMULATIVE_COUNTER")
+    reason = F.when(~has_datum, "nil_datum").when(~known, "unknown_type")
+    return (
+        df.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+
+
 def dims_fingerprint(df: DataFrame, out_col: str = "dims_str") -> DataFrame:
     """Sorted ``k:v//k:v`` rendering of the dims map — byte-identical to
     stringifyDimensions (translator.go:738-752); used by oracles."""

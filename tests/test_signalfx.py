@@ -185,3 +185,48 @@ def test_translate_chain_and_unknown_action(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# receiver decode (signalfxv2_to_metricdata.go:42-199)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_all_six_type_branches(spark):
+    # fillInType's 3 metric types x 2 datum widths; double always wins
+    df = spark.createDataFrame([
+        _dp("g_i", {"h": "a"}, vi=7, mt="GAUGE", ts=1),
+        _dp("g_d", {}, vd=1.5, mt="GAUGE", ts=2),
+        _dp("c_i", {}, vi=3, mt="COUNTER", ts=3),
+        _dp("c_d", {}, vd=2.5, mt="COUNTER", ts=4),
+        _dp("cc_i", {}, vi=9, mt="CUMULATIVE_COUNTER", ts=5),
+        _dp("cc_d", {}, vd=4.5, mt="CUMULATIVE_COUNTER", ts=6),
+        _dp("both", {}, vi=1, vd=9.5, mt="GAUGE", ts=7),  # DoubleValue checked first
+    ], SCHEMA)
+    got = {r.name: r for r in sx.datapoints_to_metrics(df).collect()}
+    assert got["g_i"].data_type == "int_gauge"
+    assert got["g_i"].temporality is None and got["g_i"].is_monotonic is None
+    assert got["g_i"].value_int == 7 and got["g_i"].value_double is None
+    assert got["g_i"].ts_ns == 1_000_000           # dpTimestamp: millis -> nanos
+    assert dict(got["g_i"].labels) == {"h": "a"}
+    assert got["g_d"].data_type == "double_gauge"
+    assert (got["c_i"].data_type, got["c_i"].temporality,
+            got["c_i"].is_monotonic) == ("int_sum", "DELTA", True)
+    assert got["c_d"].data_type == "double_sum"
+    assert (got["cc_i"].data_type, got["cc_i"].temporality) == (
+        "int_sum", "CUMULATIVE")
+    assert got["cc_d"].data_type == "double_sum"
+    assert got["both"].data_type == "double_gauge"   # double datum wins
+    assert got["both"].value_double == 9.5 and got["both"].value_int is None
+
+
+def test_decode_drops_nil_datum_and_unknown_type(spark):
+    df = spark.createDataFrame([
+        _dp("ok", {}, vi=1, mt="GAUGE"),
+        _dp("nil1", {}, mt="GAUGE"),                 # errSFxNilDatum
+        _dp("nil2", {}, mt="COUNTER"),
+        _dp("enum", {}, vi=2, mt="ENUM"),            # unknown data-point type
+    ], SCHEMA)
+    assert [r.name for r in sx.datapoints_to_metrics(df).collect()] == ["ok"]
+    dropped = {r.reason: r.n_dropped for r in sx.decode_dropped(df).collect()}
+    assert dropped == {"nil_datum": 2, "unknown_type": 1}
