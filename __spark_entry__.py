@@ -2979,6 +2979,178 @@ WHERE (vi IS NOT NULL OR vd IS NOT NULL)
 """
 
 
+def q_sentry_transactions(spark, sf_dir):
+    # sentry exporter (sentry_exporter.go:51-148): root spans anchor
+    # transactions, non-roots attach to their TRANSITIVE root ancestor,
+    # chains that exit the batch become per-span orphan transactions.
+    # Synthetic per-user span tree: idx 1 is the root, idx 2 points at a
+    # missing parent (orphan subtree head), every other idx parents to
+    # idx//2 — so the batch mixes multi-level grouped chains (depth ~7 at
+    # 86 spans/user) with multi-level orphan chains, exercising the
+    # pointer-doubling resolver end-to-end against a recursive-CTE oracle.
+    from opentelemetry_collector_contrib_spark.sinks import sentry
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.row_number().over(w).alias("idx"),
+    )
+    b, p = base.alias("b"), base.alias("p")
+    nodes = b.join(
+        p,
+        (F.col("b.user_id") == F.col("p.user_id"))
+        & (F.col("p.idx") == F.floor(F.col("b.idx") / 2)),
+        "left",
+    ).select(
+        F.col("b.user_id").alias("user_id"),
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.event_type").alias("event_type"),
+        F.when(F.col("b.idx") == 1, "")
+        .when(F.col("b.idx") == 2,
+              F.concat(F.lit("missing-"), F.col("b.user_id")))
+        .otherwise(F.concat(F.lit("s"), F.col("p.event_id")))
+        .alias("parent_span_id"),
+    )
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    sem = eid % 5
+    spans = nodes.select(
+        F.concat(F.lit("t"), u).alias("trace_id"),
+        F.concat(F.lit("s"), eid).alias("span_id"),
+        "parent_span_id",
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(u % 3 == 0, "SPAN_KIND_SERVER")
+        .when(u % 3 == 1, "SPAN_KIND_CLIENT")
+        .otherwise("SPAN_KIND_UNSPECIFIED").alias("kind"),
+        (eid % 4).alias("status_code"),          # 3 = out-of-range branch
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("color"), F.lit("service.name"),
+                        F.lit("http.method"), F.lit("db.system"),
+                        F.lit("db.statement"), F.lit("rpc.service"),
+                        F.lit("messaging.system"), F.lit("faas.trigger")),
+                F.array(et, F.lit("attr-spoof"),
+                        F.when(sem == 0, "GET"),
+                        F.when(sem == 1, "mysql"),
+                        F.when((sem == 1) & (eid % 2 == 0), "SELECT 1"),
+                        F.when(sem == 2, "auth"),
+                        F.when(sem == 3, "kafka"),
+                        F.when(sem == 4, "pubsub")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attrs"),
+        F.create_map(
+            F.lit("service.name"), F.concat(F.lit("svc"), (u % 2).cast("string")),
+        ).alias("resource"),
+        F.lit("mylib").alias("lib_name"),
+        F.lit("1.0").alias("lib_version"),
+        (eid * 1000).alias("start_ns"),
+        (eid * 1000 + (eid % 50) * 10).alias("end_ns"),
+    )
+    out = sentry.sentry_transactions(spans)
+    return out.select(
+        "trace_id", "span_id", "op", "status",
+        F.col("transaction").alias("txn"),   # 'transaction' is a SQL keyword
+        "start_ns", "timestamp_ns", "anchor_kind",
+        F.size("spans").alias("n_spans"),
+        F.array_join(
+            F.transform(F.col("spans"), lambda s: s["span_id"]), ","
+        ).alias("child_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("tags")),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            ), "//",
+        ).alias("tags_str"),
+    )
+
+
+ORACLE_SENTRY_TXN = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
+  FROM events
+), nodes AS (
+  SELECT b.user_id, b.event_id, b.event_type,
+         's' || b.event_id AS span_id,
+         CASE WHEN b.idx = 1 THEN ''
+              WHEN b.idx = 2 THEN 'missing-' || b.user_id
+              ELSE 's' || p.event_id END AS parent_id
+  FROM base b
+  LEFT JOIN base p ON p.user_id = b.user_id AND p.idx = b.idx // 2
+), walk AS (
+  SELECT user_id, span_id AS start_id, span_id AS cur, parent_id AS ptr
+  FROM nodes
+  UNION ALL
+  SELECT w.user_id, w.start_id, n.span_id, n.parent_id
+  FROM walk w JOIN nodes n ON n.user_id = w.user_id AND n.span_id = w.ptr
+  WHERE w.ptr <> ''
+), resolved AS (
+  SELECT user_id, start_id, CASE WHEN ptr = '' THEN cur END AS root_id
+  FROM walk w
+  WHERE ptr = '' OR NOT EXISTS (
+    SELECT 1 FROM nodes n WHERE n.user_id = w.user_id AND n.span_id = w.ptr)
+), conv AS (
+  SELECT user_id, span_id,
+         CASE WHEN event_id % 5 = 0 THEN
+                'http' || CASE WHEN user_id % 3 = 0 THEN '.server'
+                               WHEN user_id % 3 = 1 THEN '.client'
+                               ELSE '' END
+              WHEN event_id % 5 = 1 THEN 'db'
+              WHEN event_id % 5 = 2 THEN 'rpc'
+              WHEN event_id % 5 = 3 THEN 'message'
+              ELSE 'pubsub' END AS op,
+         CASE WHEN event_id % 4 = 0 THEN 'undefined'
+              WHEN event_id % 4 = 1 THEN 'ok'
+              ELSE 'unknown' END AS status,
+         CASE WHEN event_id % 5 = 0 THEN 'GET evt-' || event_type
+              WHEN event_id % 5 = 1 AND event_id % 2 = 0 THEN 'SELECT 1'
+              ELSE 'evt-' || event_type END AS txn,
+         event_id * 1000 AS start_ns,
+         event_id * 1000 + (event_id % 50) * 10 AS timestamp_ns,
+         ARRAY_TO_STRING(LIST_FILTER([
+           'color:' || event_type,
+           CASE WHEN event_id % 5 = 1 AND event_id % 2 = 0
+                THEN 'db.statement:SELECT 1' END,
+           CASE WHEN event_id % 5 = 1 THEN 'db.system:mysql' END,
+           CASE WHEN event_id % 5 = 4 THEN 'faas.trigger:pubsub' END,
+           CASE WHEN event_id % 5 = 0 THEN 'http.method:GET' END,
+           'library_name:mylib', 'library_version:1.0',
+           CASE WHEN event_id % 5 = 3 THEN 'messaging.system:kafka' END,
+           CASE WHEN event_id % 5 = 2 THEN 'rpc.service:auth' END,
+           'service.name:svc' || CAST(user_id % 2 AS VARCHAR),
+           CASE WHEN user_id % 3 = 0 THEN 'span_kind:server'
+                WHEN user_id % 3 = 1 THEN 'span_kind:client' END,
+           CASE WHEN event_id % 4 = 3 THEN 'status_message:error code 3'
+                WHEN event_type = 'error' AND event_id % 4 <> 3
+                THEN 'status_message:boom' END
+         ], x -> x IS NOT NULL), '//') AS tags_str
+  FROM nodes
+), children AS (
+  SELECT user_id, root_id,
+         COUNT(*) AS n_spans,
+         STRING_AGG(start_id, ',' ORDER BY start_id) AS child_ids
+  FROM resolved
+  WHERE root_id IS NOT NULL AND root_id <> start_id
+  GROUP BY user_id, root_id
+)
+SELECT 't' || r.user_id AS trace_id,
+       r.start_id AS span_id,
+       c.op, c.status, c.txn, c.start_ns, c.timestamp_ns,
+       CASE WHEN r.root_id = r.start_id THEN 'root' ELSE 'orphan' END
+         AS anchor_kind,
+       COALESCE(ch.n_spans, 0) AS n_spans,
+       COALESCE(ch.child_ids, '') AS child_ids,
+       c.tags_str
+FROM resolved r
+JOIN conv c ON c.user_id = r.user_id AND c.span_id = r.start_id
+LEFT JOIN children ch ON ch.user_id = r.user_id AND ch.root_id = r.start_id
+WHERE r.root_id = r.start_id OR r.root_id IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3063,6 +3235,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block 4b: new in r4 ---
         "xray_decode": q_xray_decode,
         "signalfx_decode": q_signalfx_decode,
+        "sentry_transactions": q_sentry_transactions,
         # --- block 5: r2-green, unchanged (fills the remaining budget;
         #     entries beyond slot 50 have green r2 rows on identical code) ---
         "parse_extract": q_parse_extract,
@@ -3154,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": ORACLE_C4_CLEAN,
         "xray_decode": ORACLE_XRAY_DECODE,
         "signalfx_decode": ORACLE_SFX_DECODE,
+        "sentry_transactions": ORACLE_SENTRY_TXN,
         "enrich_lookup": ORACLE_ENRICH_LOOKUP,
         "enrich_ttl": ORACLE_ENRICH_TTL,
         "spanmetrics_histogram": _oracle_spanmetrics(),
