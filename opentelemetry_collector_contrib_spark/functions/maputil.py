@@ -38,4 +38,14 @@ def map_from_arrays_last_wins(keys: Column, values: Column) -> Column:
             lambda later: later["key"] == e["key"],
         ),
     )
-    return F.map_from_entries(deduped)
+    # short-circuit: duplicate keys are a rare per-line affair on every
+    # wire protocol this serves — one O(n) array_distinct probe routes the
+    # overwhelmingly common no-dup line around the quadratic scan.
+    # CaseWhen only evaluates the taken branch, so map_from_arrays can
+    # never see a duplicated key (and thus never throws under the default
+    # mapKeyDedupPolicy=EXCEPTION).  NULL keys arrays fall through to the
+    # taken branch as NULL on both sides, matching the pre-guard result.
+    return F.when(
+        F.size(F.array_distinct(keys)) == F.size(keys),
+        F.map_from_arrays(keys, values),
+    ).otherwise(F.map_from_entries(deduped))
