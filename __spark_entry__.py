@@ -1729,6 +1729,42 @@ def q_dedup_exact(spark, sf_dir):
 ORACLE_DEDUP_EXACT = dedup.exact_dedup_sql("documents", "doc_id", "text")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    # CCNet-style paragraph-level exact dedup (Wenzek et al. §3.2): keep
+    # the corpus-wide first occurrence of every paragraph, reassemble
+    # docs; paragraph breaks are synthesized deterministically (plain
+    # string replace — identical semantics both engines) since the
+    # synthetic corpus is single-line
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' table ', '\n\n')").alias("text")
+    )
+    return dedup.paragraph_dedup(docs, "doc_id", "text")
+
+
+ORACLE_PARAGRAPH_DEDUP = dedup.paragraph_dedup_sql(
+    "(SELECT doc_id, replace(text, ' table ', chr(10)||chr(10)) AS text"
+    " FROM documents)",
+    "doc_id",
+    "text",
+)
+
+
+def q_contamination(spark, sf_dir):
+    # benchmark-contamination screen (GPT-3 appendix C / Dodge et al. C4
+    # §4.2): docs sharing any 8-gram with the "eval set" (every 97th doc
+    # stands in) are flagged; bench grams broadcast, corpus never
+    # shuffles on the gram key
+    docs = _docs(spark, sf_dir)
+    return dedup.contamination_flags(
+        docs, docs.filter("doc_id % 97 = 0"), "doc_id", "text", n=8
+    )
+
+
+ORACLE_CONTAMINATION = dedup.contamination_flags_sql(
+    "documents", "doc_id % 97 = 0", "doc_id", "text", n=8
+)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.5)
 
@@ -2130,6 +2166,48 @@ SELECT access_token, process_tags,
        FALSE AS token_leaked,
        (ARRAY_AGG(span_id ORDER BY trace_id, span_id))[1] AS first_span
 FROM s GROUP BY 1, 2
+"""
+
+
+def q_sapm_decode(spark, sf_dir):
+    # sapm receiver (receiver/sapmreceiver/trace_receiver.go:64-99): the
+    # exporter's gzip'd per-token batches decode back to one row per span
+    # with the access token re-upserted into the resource attributes
+    # (AccessTokenPassthrough, trace_receiver.go:80-89) — the full
+    # encode→gzip→gunzip→decode round trip; the oracle rebuilds the span
+    # rows straight from the raw columns, proving the wire is lossless
+    from opentelemetry_collector_contrib_spark.sinks import sapm as sapm_sink
+    from opentelemetry_collector_contrib_spark.sources import sapm as sapm_src
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    spans = ev.select(
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.md5(eid.cast("string").cast("binary")).alias("span_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.create_map(
+            F.lit(sapm_sink.TOKEN_ATTR),
+            F.concat(F.lit("tok"), (u % 3).cast("string")),
+            F.lit("service.name"), F.concat(F.lit("svc"), (u % 2).cast("string")),
+        ).alias("resource"),
+    )
+    decoded = sapm_src.parse_sapm_batches(sapm_sink.sapm_batches(spans))
+    return decoded.select(
+        "trace_id",
+        "span_id",
+        "name",
+        F.element_at("resource", sapm_sink.TOKEN_ATTR).alias("token"),
+        F.element_at("resource", "service.name").alias("service"),
+    )
+
+
+ORACLE_SAPM_DECODE = """
+SELECT md5(CAST(user_id AS VARCHAR)) AS trace_id,
+       md5(CAST(event_id AS VARCHAR)) AS span_id,
+       'evt-' || event_type AS name,
+       'tok' || CAST(user_id % 3 AS VARCHAR) AS token,
+       'svc' || CAST(user_id % 2 AS VARCHAR) AS service
+FROM events
 """
 
 
@@ -3236,67 +3314,34 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the same oracle live in demoted_queries() and are verified by pytest
     # (tests/test_driver_contract.py) instead of consuming driver slots.
     return {
-        # --- block 1: never driver-checked (r3 priority) ---
-        "sumologic_lines": q_sumologic_lines,
-        "emf_docs": q_emf_docs,
-        "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
-        "embedding_neardup_banded": q_embedding_neardup_banded,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "repetition_signals": q_repetition_signals,
-        # --- block 2: green in r1 only, not re-checked by the driver since ---
-        "loki_streams": q_loki_streams,
-        "multimodal_decode": q_multimodal_decode,
-        "frame_sample": q_frame_sample,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3_top10": q_tpch_q3_top10,
-        "broadcast_enrich_tpch": q_broadcast_enrich_tpch,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash_banded": q_dedup_simhash_banded,
-        "ann_topk": q_ann_topk,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        # --- block 3: implementation changed in r3 (re-verify) ---
-        "carbon_roundtrip": q_carbon_roundtrip,
-        "wavefront_roundtrip": q_wavefront_roundtrip,
-        "influx_decode": q_influx_decode,
-        "prom_text_decode": q_prom_text_decode,
-        "metricstransform_combine": q_metricstransform_combine,
-        "route_counts": q_route_counts,
-        "routed_rows": q_routed_rows,
-        # --- block 4: new in r3 ---
-        "route_multi_counts": q_route_multi_counts,
-        "route_multi_rows": q_route_multi_rows,
-        "embedding_neardup_blocked": q_embedding_neardup_blocked,
-        "sapm_batches": q_sapm_batches,
-        "newrelic_spans": q_newrelic_spans,
-        "azuremonitor_envelopes": q_azuremonitor_envelopes,
-        "dedup_clusters": q_dedup_clusters,
-        "pii_scrub": q_pii_scrub,
-        "c4_clean": q_c4_clean,
-        # --- block 4b: new in r4 ---
+        # ============ round-4 first-50 rotation (VERDICT r3 item 2) ======
+        # --- block 1: new in r4, never driver-checked ---
         "xray_decode": q_xray_decode,
         "signalfx_decode": q_signalfx_decode,
         "sentry_transactions": q_sentry_transactions,
         "statsd_percentiles_sketch": q_statsd_percentiles_sketch,
-        # --- block 5: r2-green, unchanged (fills the remaining budget;
-        #     entries beyond slot 50 have green r2 rows on identical code) ---
-        "parse_extract": q_parse_extract,
-        "severity_map": q_severity_map,
-        "enrich_lookup": q_enrich_lookup,
-        "enrich_ttl": q_enrich_ttl,
-        "spanmetrics_histogram": q_spanmetrics_histogram,
-        "spanmetrics_salted": q_spanmetrics_salted,
-        "statsd_window": q_statsd_window,
+        # --- block 2: implementation changed in r4 (re-verify) ---
+        #     dedup_clusters: convergence witness; pii_scrub: count-on-
+        #     scrubbed-text; newrelic/azuremonitor: precedence + RFC3339Nano;
+        #     influx/carbon/prom/wavefront: map_from_arrays_last_wins
+        #     short-circuit; embedding_neardup_*: auto n_anchors default +
+        #     numpy admission matrix; statsd_*: timer_summary method switch
+        #     (default path identical — re-verified out of caution)
+        "dedup_clusters": q_dedup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "newrelic_spans": q_newrelic_spans,
+        "azuremonitor_envelopes": q_azuremonitor_envelopes,
+        "influx_decode": q_influx_decode,
+        "carbon_roundtrip": q_carbon_roundtrip,
+        "prom_text_decode": q_prom_text_decode,
+        "wavefront_roundtrip": q_wavefront_roundtrip,
+        "embedding_neardup_banded": q_embedding_neardup_banded,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "statsd_percentiles": q_statsd_percentiles,
-        "multimodal_meta": q_multimodal_meta,
-        "map_pipeline": q_map_pipeline,
-        "router_json": q_router_json,
-        "statsd_lines": q_statsd_lines,
-        "filter_range": q_filter_range,
-        "filter_regexp": q_filter_regexp,
+        "statsd_window": q_statsd_window,
+        # --- block 3: last green row is r2 (CORRECTNESS_r02) — the 29
+        #     entries the r3 budget couldn't reach, rotated in so every
+        #     registry entry has a driver row <= 2 rounds old ---
         "tailsample": q_tailsample,
         "tailsample_metrics": q_tailsample_metrics,
         "groupbytrace_sessions": q_groupbytrace_sessions,
@@ -3326,6 +3371,49 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hec_roundtrip": q_hec_roundtrip,
         "collectd_decode": q_collectd_decode,
         "fluentforward_roundtrip": q_fluentforward_roundtrip,
+        # --- block 4: spare first-50 slots — new r4 queries land HERE ---
+        "sapm_decode": q_sapm_decode,
+        "paragraph_dedup": q_paragraph_dedup,
+        "contamination": q_contamination,
+        # ============ beyond the ~50-row budget: r3-green, unchanged ======
+        "sumologic_lines": q_sumologic_lines,
+        "emf_docs": q_emf_docs,
+        "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "repetition_signals": q_repetition_signals,
+        "loki_streams": q_loki_streams,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "broadcast_enrich_tpch": q_broadcast_enrich_tpch,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_banded": q_dedup_simhash_banded,
+        "ann_topk": q_ann_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "metricstransform_combine": q_metricstransform_combine,
+        "route_counts": q_route_counts,
+        "routed_rows": q_routed_rows,
+        "route_multi_counts": q_route_multi_counts,
+        "route_multi_rows": q_route_multi_rows,
+        "sapm_batches": q_sapm_batches,
+        "c4_clean": q_c4_clean,
+        "parse_extract": q_parse_extract,
+        "severity_map": q_severity_map,
+        "enrich_lookup": q_enrich_lookup,
+        "enrich_ttl": q_enrich_ttl,
+        "spanmetrics_histogram": q_spanmetrics_histogram,
+        "spanmetrics_salted": q_spanmetrics_salted,
+        "multimodal_meta": q_multimodal_meta,
+        "map_pipeline": q_map_pipeline,
+        "router_json": q_router_json,
+        "statsd_lines": q_statsd_lines,
+        "filter_range": q_filter_range,
+        "filter_regexp": q_filter_regexp,
     }
 
 
@@ -3365,6 +3453,9 @@ def oracle_sql() -> dict[str, str]:
         "route_multi_rows": ORACLE_ROUTE_MULTI_ROWS,
         "embedding_neardup_blocked": ORACLE_EMB_NEARDUP,
         "sapm_batches": ORACLE_SAPM,
+        "sapm_decode": ORACLE_SAPM_DECODE,
+        "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+        "contamination": ORACLE_CONTAMINATION,
         "newrelic_spans": ORACLE_NEWRELIC,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -533,3 +533,179 @@ def canonical_docs(
         "cluster_rep", F.coalesce("cluster_rep", F.col(id_col))
     )
     return out.withColumn("keep", F.col(id_col) == F.col("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style) + benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    §3.2): split every document into paragraphs on ``sep``, keep only the
+    corpus-wide FIRST occurrence of each distinct paragraph (ordered by
+    (doc id, paragraph position)), and reassemble documents in original
+    paragraph order.  Boilerplate (nav bars, cookie banners, footers)
+    repeats across millions of pages and dies here; unique prose survives.
+
+    Output: (id, text [deduped, '' when every paragraph lost], n_kept,
+    n_total).  Paragraphs shorter than ``min_chars`` are kept
+    unconditionally (too short to be meaningful boilerplate evidence —
+    CCNet dedups at the paragraph-hash level with a length floor).
+
+    Scale shape: the winner per paragraph is  groupBy(para).min(struct(id,
+    pos))  — a PARTIAL (map-side combinable) aggregation, so a paragraph
+    repeated 10^9 times collapses to one row per map task before the
+    shuffle; the winner table then equi-joins back on the paragraph key
+    (AQE skew-join splits any residual hot paragraph's join partition).
+    A window over paragraph would shuffle every raw occurrence to one
+    reducer per paragraph — the exact skew this avoids.  Reassembly is
+    one groupBy(id) with collect_list over (pos, para) structs — null
+    entries (lost paragraphs) are skipped by collect_list, keeping every
+    input document present in the output even when fully deduped.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = paras.filter(F.length("para") >= min_chars)
+    winners = eligible.groupBy("para").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    ).select("para", F.col("w.id").alias("w_id"), F.col("w.pos").alias("w_pos"))
+    flagged = paras.join(winners, "para", "left").withColumn(
+        "is_kept",
+        (F.length("para") < min_chars)
+        | ((F.col("id") == F.col("w_id")) & (F.col("pos") == F.col("w_pos"))),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_kept"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def paragraph_dedup_sql(
+    relation: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_sql: str = "chr(10) || chr(10)",
+    min_chars: int = 0,
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (``sep_sql`` is a SQL
+    expression for the separator so callers can pass chr() composites)."""
+    return f"""
+WITH paras AS (
+  SELECT {id_col} AS id, u.pos - 1 AS pos, u.para
+  FROM (SELECT {id_col}, string_split({text_col}, {sep_sql}) AS parts
+        FROM {relation}) d,
+  LATERAL (SELECT unnest(parts) AS para,
+                  unnest(generate_series(1, len(parts))) AS pos) u
+),
+winners AS (
+  SELECT para, MIN(ROW(id, pos)) AS w
+  FROM paras WHERE length(para) >= {min_chars} GROUP BY para
+),
+flagged AS (
+  SELECT p.id, p.pos, p.para,
+         length(p.para) < {min_chars}
+           OR ROW(p.id, p.pos) = w.w AS is_kept
+  FROM paras p LEFT JOIN winners w ON p.para = w.para
+)
+SELECT id AS {id_col},
+       COALESCE(string_agg(para, {sep_sql} ORDER BY pos)
+                FILTER (WHERE is_kept), '') AS text,
+       CAST(COUNT(*) FILTER (WHERE is_kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM flagged GROUP BY id
+"""
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination screen (the GPT-3 appendix-C / Dodge et al.
+    C4 §4.2 protocol): flag training documents that share any word
+    ``n``-gram with an evaluation set, reporting how many distinct
+    benchmark n-grams each document hits.
+
+    Scale shape: the benchmark side is tiny (eval sets are thousands of
+    documents) — its distinct n-grams BROADCAST, so the corpus side is
+    one explode + broadcast-hash semi-join + partial-agg groupBy(doc):
+    the 10^12-row corpus never shuffles on the gram key.  Docs with no
+    hit keep n_hit_grams = 0 via the left join against the hit table
+    (itself keyed by doc id — the natural partitioning).
+    """
+    bench_text = bench_text_col or text_col
+    doc_grams = _grams_df(docs, id_col, text_col, n)
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.expr(word_ngrams_expr(bench_text, n))).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_flags_sql(
+    relation: str,
+    bench_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    """DuckDB twin of :func:`contamination_flags` where the benchmark is
+    the subset of ``relation`` matching ``bench_pred``."""
+    doc_grams = _grams_sql(relation, id_col, text_col, n)
+    bench_grams = _grams_sql(
+        f"(SELECT * FROM {relation} WHERE {bench_pred})", id_col, text_col, n
+    )
+    return f"""
+WITH doc_grams AS ({doc_grams}),
+bench_grams AS (SELECT DISTINCT gram FROM ({bench_grams})),
+hits AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+  FROM doc_grams JOIN bench_grams USING (gram) GROUP BY doc
+)
+SELECT d.{id_col}, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+FROM {relation} d LEFT JOIN hits h ON d.{id_col} = h.doc
+"""

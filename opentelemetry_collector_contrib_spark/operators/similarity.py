@@ -314,13 +314,27 @@ LAST_PRUNE_STATS: dict = {}
 
 
 def auto_n_anchors(n_rows: int) -> int:
-    """Default anchor count for the near-dup scale paths: ~sqrt(N)/4,
-    floor 8.  A fixed 8 admits 60-83%% of cell pairs once the corpus has
-    thousands of natural clusters; growing anchors with sqrt(N) keeps the
-    expected per-cell population (and so each GEMM task) roughly constant
-    while the triangle prune keeps biting.  The prune is exact at ANY
-    anchor count, so this knob never changes the result set."""
-    return max(8, int(n_rows ** 0.5) // 4)
+    """Default anchor count for the near-dup scale paths: N/4096 cells
+    (constant ~4k-row cells), clamped to [8, 4096].
+
+    Why constant CELL SIZE and not the IVF sqrt(N) convention: in the
+    all-pairs GEMM verify the total FLOPs  (~frac x N^2 x dim)  are
+    ANCHOR-INDEPENDENT — anchors only set (a) how far the admitted
+    fraction `frac` can fall (it floors at the natural-cluster overlap
+    once cells are finer than the data's clusters) and (b) the shuffle
+    replication, which is partners-per-cell x N ≈ frac x A x N rows and
+    grows LINEARLY in A past that floor.  Measured on a 64-cluster
+    202k-vector corpus: A=64 → 84 s, A=449 (sqrt N) → 433 s — same GEMM
+    work, 5x the replication and 28x the tasks.  ~4k-row cells keep each
+    admitted cell pair a ~1 GFLOP BLAS task (fraction-of-a-second, dense
+    enough to amortize scheduling) while A grows with N so no single task
+    ever owns the corpus.  Above the 4096-anchor cap (N > ~16M) cells
+    grow past 4k rows; memory stays bounded (the pair space is tiled
+    ``row_block`` rows at a time) but tasks lengthen — at that scale pass
+    an explicit data-informed ``n_anchors`` (~ the corpus's cluster
+    count).  The prune is exact at ANY anchor count, so this knob never
+    changes the result set."""
+    return max(8, min(4096, n_rows // 4096))
 
 _LOG = __import__("logging").getLogger("ocs.similarity")
 
@@ -439,21 +453,23 @@ def _anchor_cells(
     radii = {int(r["cell"]): float(r["r"]) for r in cell_stats}
     counts = {int(r["cell"]): int(r["n"]) for r in cell_stats}
 
-    def _angle(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return math.acos(max(-1.0, min(1.0, d / (na * nb))))
-
     # ordered cell pairs (both directions for i != j so id_a < id_b in the
     # callers emits each unordered vector pair exactly once); 1e-9 slack
-    # only ever ADMITS extra candidates — the prune stays exact
+    # only ever ADMITS extra candidates — the prune stays exact.  The
+    # all-pairs centroid angle matrix is one float64 numpy GEMM: at the
+    # 4096-anchor cap that's 4096^2 x dim ~ 1 GFLOP driver-side, where the
+    # former pure-Python loop was already minutes at ~700 anchors.
+    import numpy as np
+
+    live = sorted(radii)
+    c = np.asarray([centroids[i] for i in live], dtype=np.float64)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    ang_m = np.arccos(np.clip(c @ c.T, -1.0, 1.0))
+    r = np.asarray([radii[i] for i in live])
+    ok = ang_m - r[:, None] - r[None, :] <= theta_t + 1e-9
+    ii, jj = np.nonzero(ok)
     allowed = [
-        (i, j, ang)
-        for i in radii
-        for j in radii
-        if (ang := _angle(centroids[i], centroids[j])) - radii[i] - radii[j]
-        <= theta_t + 1e-9
+        (live[a], live[b], float(ang_m[a, b])) for a, b in zip(ii, jj)
     ]
     n_live = len(radii)
     n_rows = sum(counts.values())
@@ -484,7 +500,7 @@ def neardup_pairs_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_anchors: int | None = 8,
+    n_anchors: int | None = None,
     iters: int = 2,
     salt: int = 8,
     train_sample_mod: int = 1,
@@ -554,7 +570,7 @@ def neardup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_anchors: int | None = 8,
+    n_anchors: int | None = None,
     iters: int = 2,
     row_block: int = 4096,
     train_sample_mod: int = 1,

@@ -280,3 +280,64 @@ def test_connected_components_large_hash_ids(spark):
         (big, big - 2), (big - 1, big - 2), (big - 2, big - 2),
         (-big, -big), (-big + 1, -big),
     }
+
+
+def test_paragraph_dedup_semantics(spark):
+    """CCNet §3.2 semantics: corpus-wide first occurrence wins (ordered by
+    (doc, pos)), fully-deduped docs stay present with '' text, and the
+    min_chars floor keeps short paragraphs unconditionally."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "common\n\nunique-a\n\nx"),
+            ("b", "common\n\nunique-b\n\nx"),
+            ("c", "common\n\nx"),  # loses everything but ties
+        ],
+        "doc_id STRING, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out["a"]["text"] == "common\n\nunique-a\n\nx"  # first occurrence
+    assert out["b"]["text"] == "unique-b"
+    assert out["c"]["text"] == ""  # fully deduped, still present
+    assert (out["c"]["n_kept"], out["c"]["n_total"]) == (0, 2)
+    # length floor: 1-char paragraphs survive everywhere
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(
+            docs, "doc_id", "text", min_chars=2
+        ).collect()
+    }
+    assert out2["b"]["text"] == "unique-b\n\nx"
+    assert out2["c"]["text"] == "x"
+
+
+def test_contamination_flags_zero_and_hits(spark):
+    """Docs sharing no benchmark n-gram report 0/false; overlap counts
+    DISTINCT hit grams (shingles are per-doc distinct)."""
+    from opentelemetry_collector_contrib_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the quick brown fox jumps"),
+            ("d2", "totally different words here now"),
+        ],
+        "doc_id STRING, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [("e1", "a quick brown fox leaps")], "doc_id STRING, text STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_flags(
+            docs, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    # shared 3-gram: "quick brown fox" (1 distinct hit)
+    assert out["d1"]["n_hit_grams"] == 1 and out["d1"]["contaminated"]
+    assert out["d2"]["n_hit_grams"] == 0 and not out["d2"]["contaminated"]

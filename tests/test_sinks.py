@@ -264,3 +264,69 @@ def test_newrelic_own_attr_overrides_computed(spark):
     # non-colliding computed entries still present
     assert attrs["otel.status_description"] == "boom"
     assert attrs["otel.dropped_attributes_count"] == "2"
+
+
+def test_sapm_receiver_decode_roundtrip(spark):
+    """trace_receiver.go:64-99: the receiver is the exporter's exact
+    inverse — gzip'd batches decode to span rows, the out-of-band token
+    upserted back into resource attrs (AccessTokenPassthrough,
+    trace_receiver.go:80-89), stale payload-side tokens replaced."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import sapm
+    from opentelemetry_collector_contrib_spark.sources import sapm as sapm_rx
+
+    df = spark.createDataFrame(
+        [("t1", "s2", "b", "tokA", "svc1"),
+         ("t1", "s1", "a", "tokA", "svc1"),
+         ("t2", "s3", "c", "tokB", "svc2"),
+         ("t3", "s4", "d", None, "svc3")],  # no token -> '' cohort
+        "trace_id STRING, span_id STRING, name STRING, tok STRING, svc STRING",
+    ).select(
+        "trace_id", "span_id", "name",
+        F.when(
+            F.col("tok").isNotNull(),
+            F.create_map(
+                F.lit(sapm.TOKEN_ATTR), F.col("tok"),
+                F.lit("service.name"), F.col("svc"),
+            ),
+        ).otherwise(
+            F.create_map(F.lit("service.name"), F.col("svc"))
+        ).alias("resource"),
+    )
+    batches = sapm.sapm_batches(df)
+
+    # full path: decode from the GZIP column
+    decoded = sapm_rx.parse_sapm_batches(batches)
+    got = {
+        (r["trace_id"], r["span_id"], r["name"],
+         dict(r["resource"]).get(sapm.TOKEN_ATTR),
+         dict(r["resource"])["service.name"])
+        for r in decoded.collect()
+    }
+    want = {
+        ("t1", "s2", "b", "tokA", "svc1"),
+        ("t1", "s1", "a", "tokA", "svc1"),
+        ("t2", "s3", "c", "tokB", "svc2"),
+        ("t3", "s4", "d", None, "svc3"),  # empty token: NOT upserted
+    }
+    assert got == want
+
+    # uncompressed path: gzip_col=None reads the JSON payload directly
+    plain = sapm.sapm_batches(df, disable_compression=True)
+    got2 = {
+        (r["trace_id"], r["span_id"], r["name"])
+        for r in sapm_rx.parse_sapm_batches(plain, gzip_col=None).collect()
+    }
+    assert got2 == {(t, s, n) for t, s, n, _, _ in want}
+
+    # UPSERT semantics: a stale token in the tags is REPLACED by the
+    # out-of-band one (UpsertString, not insert-if-absent)
+    forged = batches.withColumn(
+        "process_tags",
+        F.concat(F.lit(sapm.TOKEN_ATTR + "=stale,"), F.col("process_tags")),
+    ).filter(F.col("access_token") == "tokA")
+    re_decoded = sapm_rx.parse_sapm_batches(forged).collect()
+    assert all(
+        dict(r["resource"])[sapm.TOKEN_ATTR] == "tokA" for r in re_decoded
+    )

@@ -13,6 +13,10 @@ can prune (the contract queries still run there and the prune-rate log
 reports 100% admitted, honestly).  Pruning claims need clustered data,
 which is what real embedding corpora look like.
 
+Anchor count is the production default (``n_anchors=None`` →
+:func:`similarity.auto_n_anchors`, ~sqrt(N)/4): the row-4 evidence that
+the prune keeps biting as N grows WITHOUT a caller-side knob.
+
 Usage: python tools/bench_neardup.py [N ...]   (default 10000 20000 50000 200000)
 """
 
@@ -93,7 +97,7 @@ def main() -> None:
         total = emb.count()  # warm the scan (= n + 1% twins)
         mod = max(1, total // 10000)
         kw = dict(
-            threshold=THRESHOLD, n_anchors=N_CLUSTERS, iters=2,
+            threshold=THRESHOLD, n_anchors=None, iters=2,
             train_sample_mod=mod,
         )
         res: dict[str, object] = {"n": total}
@@ -106,6 +110,7 @@ def main() -> None:
         res["blocked_s"] = round(time.time() - t0, 1)
         res["pairs"] = len(blocked)
         st = dict(similarity.LAST_PRUNE_STATS)
+        res["n_anchors"] = st["n_anchors"]
         res["cell_pairs_admitted"] = (
             f"{st['allowed_cell_pairs']}/{st['total_cell_pairs']}"
         )
@@ -146,11 +151,11 @@ def main() -> None:
         rows.append(res)
         print(json.dumps(res), flush=True)
 
-    print("\n| N | pairs | cell-pairs admitted | candidate frac | exact s | banded s | blocked s |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| N | anchors (auto) | pairs | cell-pairs admitted | candidate frac | exact s | banded s | blocked s |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['n']} | {r['pairs']} | {r['cell_pairs_admitted']} "
+            f"| {r['n']} | {r['n_anchors']} | {r['pairs']} | {r['cell_pairs_admitted']} "
             f"| {r['candidate_frac']} | {r['exact_s'] or '—'} "
             f"| {r['banded_s'] or '—'} | {r['blocked_s']} |"
         )
