@@ -430,7 +430,7 @@ WITH sk AS (
   FROM sk
 )
 SELECT CAST(CAST(window_start AS TIMESTAMP) AS VARCHAR) AS window_start,
-       event_type, MAX(total) AS n_obs, {', '.join(ests)}
+       event_type, CAST(MAX(total) AS BIGINT) AS n_obs, {', '.join(ests)}
 FROM ranked GROUP BY 1, 2
 """
 
@@ -2100,6 +2100,102 @@ def q_doc_fingerprint(spark, sf_dir):
 ORACLE_FINGERPRINT = text_fns.doc_fingerprint_sql("documents", "doc_id")
 
 
+# deterministic messy-URL synth shared by the Spark query and the oracle:
+# four crawl-realistic variants (mixed case + default port + tracking
+# params + fragment; nonstandard port; http:80 + gclid; bare apex host)
+# CAST(... AS STRING) parses in BOTH engines (DuckDB aliases STRING to
+# VARCHAR; Spark rejects bare VARCHAR)
+_URL_CASES_SQL = """CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/' ||
+              CAST(doc_id AS STRING) || '/?utm_source=x&b=2&a=1#f'
+  WHEN 1 THEN 'http://' || source || '.example.com:8080/p/' ||
+              CAST(doc_id AS STRING)
+  WHEN 2 THEN 'http://' || source || '.example.com:80/p/' ||
+              CAST(doc_id AS STRING) || '?gclid=1'
+  ELSE 'https://' || source || '.org'
+END"""
+
+
+def q_url_canonical(spark, sf_dir):
+    # URL canonicalization + host/registrable-domain extraction
+    # (functions/urlutil.py): RFC 3986 §6 syntax normalization + the
+    # tracking-param strip every crawl pipeline (C4, CCNet, RefinedWeb)
+    # keys dedup and per-domain stats on; pure JVM regexp/array
+    # expressions, one map stage
+    from opentelemetry_collector_contrib_spark.functions import urlutil
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_CASES_SQL).alias("url")
+    )
+    host = urlutil.url_parts(F.col("url"))["host"]
+    return docs.select(
+        "doc_id",
+        F.col("url").alias("raw_url"),
+        urlutil.canonicalize_url(F.col("url")).alias("canonical_url"),
+        host.alias("host"),
+        urlutil.registrable_domain(host).alias("domain"),
+    )
+
+
+def _oracle_url_canonical():
+    from opentelemetry_collector_contrib_spark.functions import urlutil
+
+    host = urlutil.host_sql("url")
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_CASES_SQL} AS url FROM documents)
+SELECT doc_id, url AS raw_url,
+       {urlutil.canonicalize_url_sql('url')} AS canonical_url,
+       {host} AS host,
+       {urlutil.registrable_domain_sql(host)} AS domain
+FROM u
+"""
+
+
+ORACLE_URL_CANONICAL = _oracle_url_canonical()
+
+
+def q_domain_stats(spark, sf_dir):
+    # per-registrable-domain corpus stats (the RefinedWeb/C4 site-level
+    # aggregation that feeds domain blocklists and per-site quality
+    # curves): one map stage for canonicalization, one partial-agg
+    # groupBy(domain) — at 10^12 docs the domain key is low-cardinality
+    # relative to rows, so map-side combine collapses almost everything
+    from opentelemetry_collector_contrib_spark.functions import urlutil
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.expr(_URL_CASES_SQL).alias("url")
+    )
+    host = urlutil.url_parts(F.col("url"))["host"]
+    return (
+        docs.select(
+            urlutil.registrable_domain(host).alias("domain"), "n_chars"
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def _oracle_domain_stats():
+    from opentelemetry_collector_contrib_spark.functions import urlutil
+
+    host = urlutil.host_sql("url")
+    return f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_CASES_SQL} AS url FROM documents)
+SELECT {urlutil.registrable_domain_sql(host)} AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM u GROUP BY 1
+"""
+
+
+ORACLE_DOMAIN_STATS = _oracle_domain_stats()
+
+
 def _sfx_datapoints(spark, sf_dir):
     # events -> SignalFx-shaped datapoints (metric, dims map, int/double value)
     ev = _events(spark, sf_dir)
@@ -3375,6 +3471,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sapm_decode": q_sapm_decode,
         "paragraph_dedup": q_paragraph_dedup,
         "contamination": q_contamination,
+        "url_canonical": q_url_canonical,
+        "domain_stats": q_domain_stats,
         # ============ beyond the ~50-row budget: r3-green, unchanged ======
         "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
@@ -3456,6 +3554,8 @@ def oracle_sql() -> dict[str, str]:
         "sapm_decode": ORACLE_SAPM_DECODE,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "contamination": ORACLE_CONTAMINATION,
+        "url_canonical": ORACLE_URL_CANONICAL,
+        "domain_stats": ORACLE_DOMAIN_STATS,
         "newrelic_spans": ORACLE_NEWRELIC,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

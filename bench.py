@@ -59,6 +59,11 @@ HEADLINE_QUERIES = [
     "token_count",
     "pii_scrub",
     "c4_clean",
+    # round-4 webtext ops
+    "paragraph_dedup",
+    "contamination",
+    "url_canonical",
+    "domain_stats",
     "tpch_q1",
     "tpch_q3_top10",
     # wire-format decoders (pure JVM map stages)
@@ -69,6 +74,10 @@ HEADLINE_QUERIES = [
     "xray_segments",
     "datadog_metrics",
     "qsketch_quantile",
+    # round-4: receiver-direction decodes + the grouping exporter
+    "xray_decode",
+    "sentry_transactions",
+    "statsd_percentiles_sketch",
 ]
 
 
