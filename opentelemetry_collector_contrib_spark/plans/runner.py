@@ -150,8 +150,19 @@ def run_pipeline(
             ],
         )
         # sinks carry the parsed record (message == extracted text); the
-        # golden `text` column is test-only and would double sink bytes
-        writer.write_fanout(observed, f"{out_dir}/sinks")
+        # golden `text` column is test-only and would double sink bytes.
+        # files_per_partition scales with session parallelism: with 1 the
+        # clustered write runs ONE task per (route, day) — at |routes| x
+        # |days| ~ 35 partitions a hot route's single writer becomes the
+        # whole job's critical path once cores > partitions (measured:
+        # local[16] at 12M pages was capped at ~107k docs/s by exactly
+        # this; cores/4 salt splits restore write parallelism while
+        # keeping files bounded at partitions x cores/4 per run — on a
+        # real cluster size this by target file bytes instead)
+        fpp = max(1, spark.sparkContext.defaultParallelism // 4)
+        writer.write_fanout(
+            observed, f"{out_dir}/sinks", files_per_partition=fpp
+        )
         counts = {r: int(v) for r, v in obs.get.items() if v}
         pm = _metrics_from_counts(counts)
 
@@ -202,7 +213,19 @@ def run_incremental(
             if fail_after is not None and i >= fail_after:
                 break
             part = tagged.filter(F.col("day") == day).drop("text")
-            writer.write_fanout(part, f"{out_dir}/sinks", mode="overwrite")
+            # same parallelism-scaled salt as run_pipeline; the content-
+            # hash salt keeps crash/resume byte-identity AT A GIVEN
+            # session width (a resume on a different core count lays the
+            # same rows out across a different file count — pass an
+            # explicit files_per_partition to pin layout across widths)
+            writer.write_fanout(
+                part,
+                f"{out_dir}/sinks",
+                mode="overwrite",
+                files_per_partition=max(
+                    1, spark.sparkContext.defaultParallelism // 4
+                ),
+            )
             man.mark_done(day)
             done.append(day)
         return done

@@ -330,3 +330,65 @@ def test_sapm_receiver_decode_roundtrip(spark):
     assert all(
         dict(r["resource"])[sapm.TOKEN_ATTR] == "tokA" for r in re_decoded
     )
+
+
+def test_tanzu_span_translation(spark):
+    """transformer.go:58-220: UUID forms (span ids LEFT-padded to 16
+    bytes), required-tag promotion/deletion/defaults, later-wins tag
+    merge, kind ladder incl. unknown, error status with 240-byte message
+    truncation, unset-end duration clamp, uuid.Nil parent."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import tanzu
+
+    rows = [
+        # (trace, span, parent, name, kind, code, msg, start, end, res, attrs)
+        ("0af7651916cd43dd8448eb211c80319c", "b7ad6b7169203331", "",
+         "ok-span", "SERVER", 0, "", 1_700_000_000_000_000_000,
+         1_700_000_000_250_000_000,
+         {"service.name": "checkout", "env": "prod"}, {"env": "stage"}),
+        ("0af7651916cd43dd8448eb211c80319c", "00f067aa0ba902b7",
+         "b7ad6b7169203331", "err-span", "WEIRD", 2, "m" * 300,
+         1_700_000_000_000_000_000, 0,
+         {"service": "svc-x", "application": "app-x"}, {}),
+        ("not-hex", "b7ad6b7169203331", "", "bad-trace", "CLIENT", 1, "",
+         1_700_000_000_000_000_000, 1_700_000_001_000_000_000, {}, {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id STRING, span_id STRING, parent_id STRING, name STRING,"
+        " kind STRING, status_code INT, status_message STRING,"
+        " start_ns LONG, end_ns LONG, resource MAP<STRING,STRING>,"
+        " attributes MAP<STRING,STRING>",
+    )
+    out = {r["name"]: r for r in tanzu.tanzu_spans(df).collect()}
+
+    ok = out["ok-span"]
+    assert ok["trace_uuid"] == "0af76519-16cd-43dd-8448-eb211c80319c"
+    # span id left-padded to 16 bytes before UUID formatting
+    assert ok["span_uuid"] == "00000000-0000-0000-b7ad-6b7169203331"
+    assert ok["parent_uuid"] == tanzu.NIL_UUID
+    assert ok["start_millis"] == 1_700_000_000_000
+    assert ok["duration_millis"] == 250
+    tags = dict(ok["tags"])
+    # service.name promoted into service AND deleted; application default
+    assert tags["service"] == "checkout" and "service.name" not in tags
+    assert tags["application"] == tanzu.DEFAULT_APPLICATION
+    # span attr overwrites resource attr (later wins)
+    assert tags["env"] == "stage"
+    assert tags["span.kind"] == "server" and tags["status.code"] == "0"
+    assert "error" not in tags and ok["valid"]
+
+    err = out["err-span"]
+    etags = dict(err["tags"])
+    assert etags["span.kind"] == "unknown"          # unmapped kind
+    assert etags["error"] == "true"
+    assert len(etags["status.message"]) == 240      # 255 - len(label+'=')
+    assert etags["service"] == "svc-x"              # explicit service kept
+    assert etags["application"] == "app-x"
+    assert err["duration_millis"] == 0              # unset end clamps
+    assert err["parent_uuid"] == "00000000-0000-0000-b7ad-6b7169203331"
+
+    bad = out["bad-trace"]
+    assert bad["trace_uuid"] is None and not bad["valid"]
+    assert dict(bad["tags"])["service"] == tanzu.DEFAULT_SERVICE

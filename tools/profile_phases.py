@@ -44,7 +44,10 @@ def main() -> None:
         phases["parse_persist_counts"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        writer.write_fanout(tagged.drop("text"), f"{work}/sinks")
+        writer.write_fanout(
+            tagged.drop("text"), f"{work}/sinks",
+            files_per_partition=max(1, cores // 4),
+        )
         phases["fanout_write"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
