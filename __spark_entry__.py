@@ -1311,6 +1311,80 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_influx_roundtrip(spark, sf_dir):
+    # exporter -> receiver round trip for the line protocol
+    # (exporter/influxdbexporter writer.go:70-76 strict ns encoder +
+    # receiver/influxdbreceiver): rows with escape-hostile tag keys/values
+    # (spaces, commas, '=') and one float + one int + one string field
+    # encode to lines and parse back; the oracle recomputes the aggregate
+    # from the raw columns, proving both wire directions are lossless
+    from opentelemetry_collector_contrib_spark.sources import influx
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    rows = ev.select(
+        F.concat(F.lit("evt "), et).alias("measurement"),
+        F.create_map(
+            F.lit("user id"), F.concat(F.lit("u "), (u % 5).cast("string")),
+            F.lit("dc=zone"), F.lit("us,east"),
+        ).alias("tags"),
+        F.create_map(F.lit("value"), F.col("value")).alias("ff"),
+        F.create_map(F.lit("n"), (eid % 7).cast("long")).alias("fi"),
+        F.create_map(
+            F.lit("note"), F.concat(F.lit('say "'), et, F.lit('"'))
+        ).alias("fs"),
+        (F.unix_timestamp("ts").cast("long") * F.lit(1000000000)).alias("ts"),
+    )
+    lines = influx.to_influx_lines(
+        rows, "measurement", "tags", "ff", "fi", "fs", None, "ts"
+    )
+    parsed = influx.parse_influx_lines(lines).filter("valid")
+    return parsed.groupBy(
+        "measurement",
+        F.col("tags").getItem("user id").alias("user_tag"),
+        F.col("tags").getItem("dc=zone").alias("dc_tag"),
+        "field_key",
+    ).agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("value_str").alias("max_str"),
+        F.max(F.col("ts").cast("long")).alias("max_epoch"),
+    )
+
+
+ORACLE_INFLUX_ROUNDTRIP = """
+WITH base AS (
+  SELECT 'evt ' || event_type AS measurement,
+         'u ' || CAST(user_id % 5 AS VARCHAR) AS user_tag,
+         'us,east' AS dc_tag,
+         value, event_id % 7 AS n_val,
+         'say "' || event_type || '"' AS note,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+  FROM events
+)
+SELECT measurement, user_tag, dc_tag, 'value' AS field_key,
+       ROUND(SUM(value), 4) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(NULL AS VARCHAR) AS max_str,
+       MAX(epoch_s) AS max_epoch
+FROM base GROUP BY 1, 2, 3
+UNION ALL
+SELECT measurement, user_tag, dc_tag, 'n' AS field_key,
+       ROUND(SUM(n_val), 4) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(NULL AS VARCHAR) AS max_str,
+       MAX(epoch_s) AS max_epoch
+FROM base GROUP BY 1, 2, 3
+UNION ALL
+SELECT measurement, user_tag, dc_tag, 'note' AS field_key,
+       CAST(NULL AS DOUBLE) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MAX(note) AS max_str,
+       MAX(epoch_s) AS max_epoch
+FROM base GROUP BY 1, 2, 3
+"""
+
+
 def q_prom_text_decode(spark, sf_dir):
     # Prometheus text exposition format (simpleprometheusreceiver /
     # prometheusexecreceiver scrape payloads): synthesize a counter family
@@ -3555,10 +3629,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavefront_roundtrip": q_wavefront_roundtrip,
         "embedding_neardup_banded": q_embedding_neardup_banded,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
-        "statsd_percentiles": q_statsd_percentiles,
-        # (statsd_window stays r3-green: its statsd_aggregate path is
-        # byte-identical since r3 — the timer_summary method-switch commit
-        # touched only timer_summary; rotated beyond the budget)
+        # (statsd_window + statsd_percentiles stay r3-green: the timer_summary
+        # method-switch commit added only an early-return branch — the default
+        # exact path is byte-identical, pytest pins the switch, and
+        # statsd_percentiles_sketch in slot 4 exercises the new branch;
+        # both rotate beyond the budget to make room for new r4 queries)
+        "influx_roundtrip": q_influx_roundtrip,
         # --- block 3: last green row is r2 (CORRECTNESS_r02) — the 29
         #     entries the r3 budget couldn't reach, rotated in so every
         #     registry entry has a driver row <= 2 rounds old ---
@@ -3600,6 +3676,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tanzu_spans": q_tanzu_spans,
         # ============ beyond the ~50-row budget: r3-green, unchanged ======
         "statsd_window": q_statsd_window,
+        "statsd_percentiles": q_statsd_percentiles,
         "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
         "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
@@ -3736,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "wavefront_roundtrip": ORACLE_WAVEFRONT,
         "collectd_decode": ORACLE_COLLECTD,
         "influx_decode": ORACLE_INFLUX,
+        "influx_roundtrip": ORACLE_INFLUX_ROUNDTRIP,
         "prom_text_decode": ORACLE_PROM_TEXT,
         "fluentforward_roundtrip": ORACLE_FLUENTFORWARD,
         "sumologic_lines": ORACLE_SUMOLOGIC,

@@ -148,3 +148,110 @@ def parse_influx_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.expr("timestamp_micros(__ts_ns div 1000)").alias("ts"),
         row_valid.alias("valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exporter direction (exporter/influxdbexporter — rows -> line protocol)
+# ---------------------------------------------------------------------------
+
+def _escape_id(col):
+    """Identifier escaping for tag keys/values and field keys: backslash
+    before ',', ' ', '=' and '\\' itself (one pass — each special gains
+    its own backslash; the char class includes backslash so pre-existing
+    ones double, matching the lib's writeEscaped)."""
+    return F.regexp_replace(col, r"([\\, =])", r"\\$1")
+
+
+def _escape_measurement(col):
+    """Measurement escapes only ',' and ' ' (an unescaped '=' is legal
+    there per the line-protocol spec — the v2 encoder leaves it alone)."""
+    return F.regexp_replace(col, r"([\\, ])", r"\\$1")
+
+
+def _escape_str_val(col):
+    """String field values: double-quoted with '\\' and '\"' escapes."""
+    return F.concat(
+        F.lit('"'), F.regexp_replace(col, r'([\\"])', r"\\$1"), F.lit('"')
+    )
+
+
+def to_influx_lines(
+    df: DataFrame,
+    measurement_col: str = "measurement",
+    tags_col: str | None = "tags",
+    float_fields_col: str | None = None,
+    int_fields_col: str | None = None,
+    str_fields_col: str | None = None,
+    bool_fields_col: str | None = None,
+    ts_col: str | None = "ts",
+) -> DataFrame:
+    """Rows → InfluxDB line-protocol lines (exporter/influxdbexporter:
+    writer.go:70-76 configures the upstream lineprotocol.Encoder strict
+    at nanosecond precision; the wire contract is the same spec the
+    decoder above parses).
+
+    Encoder semantics reproduced:
+      - tags sorted lexicographically by key (the strict encoder REQUIRES
+        sorted tags — unsorted input is an encode error in lax=false);
+      - identifier escaping on measurement/keys/values, quoted-string
+        escaping on string field values;
+      - typed field rendering: int → ``123i``, bool → ``true``/``false``,
+        string → quoted, float → shortest-form via Spark's double
+        rendering (callers needing byte parity with Go's strconv should
+        round-trip through :func:`parse_influx_lines`, which types by
+        shape, not by byte);
+      - optional trailing integer nanosecond timestamp.
+
+    Field maps are rendered float → int → string → bool, each key-sorted:
+    a deterministic canonical order (the Go encoder writes insertion
+    order, which a MAP cannot preserve — documented deviation, lossless
+    on decode).  Rows with no field in any map render NULL ``line`` (a
+    fieldless line is invalid on the wire — the encoder refuses it).
+    """
+    def _map_entries(col_name, render_val):
+        if col_name is None:
+            return F.array().cast("array<string>")
+        entries = F.map_entries(F.col(col_name))
+        return F.transform(
+            F.array_sort(entries),
+            lambda e: F.concat(
+                _escape_id(e["key"]), F.lit("="), render_val(e["value"])
+            ),
+        )
+
+    parts = F.concat(
+        _map_entries(float_fields_col, lambda v: v.cast("string")),
+        _map_entries(int_fields_col, lambda v: F.concat(
+            v.cast("long").cast("string"), F.lit("i"))),
+        _map_entries(str_fields_col, _escape_str_val),
+        _map_entries(bool_fields_col, lambda v: F.when(
+            v, F.lit("true")).otherwise(F.lit("false"))),
+    )
+    fields_str = F.array_join(parts, ",")
+
+    tag_section = F.lit("")
+    if tags_col is not None:
+        tag_entries = F.transform(
+            F.array_sort(F.map_entries(F.col(tags_col))),
+            lambda e: F.concat(
+                _escape_id(e["key"]), F.lit("="), _escape_id(e["value"])
+            ),
+        )
+        tag_section = F.when(
+            F.size(tag_entries) > 0,
+            F.concat(F.lit(","), F.array_join(tag_entries, ",")),
+        ).otherwise(F.lit(""))
+
+    line = F.concat(
+        _escape_measurement(F.col(measurement_col)),
+        tag_section,
+        F.lit(" "),
+        fields_str,
+    )
+    if ts_col is not None:
+        line = F.concat(
+            line, F.lit(" "), F.col(ts_col).cast("long").cast("string")
+        )
+    return df.select(
+        F.when(fields_str != "", line).alias("line")
+    )

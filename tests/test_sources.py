@@ -522,3 +522,55 @@ def test_line_parsers_hostile_inputs_never_abort(spark):
         )
     ).collect()[0]
     assert i2["valid"] and i2["ts"].microsecond == 123456
+
+
+def test_influx_encoder_roundtrip_and_edge_cases(spark):
+    """writer.go:70-76 strict-encoder contract: sorted tags, identifier
+    and quoted-string escaping, typed field rendering, fieldless rows
+    refused (NULL line); decode(encode(x)) recovers every value."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sources import influx
+
+    df = spark.createDataFrame(
+        [
+            ("cpu load,1", {"host name": "h 1", "dc": "us,east", "z=k": "v\\x"},
+             {"usage": 0.55}, {"count": 42}, {"note": 'say "hi"\\now'},
+             {"up": True}, 1_700_000_000_123_456_789),
+            # fieldless -> NULL line (encoder refuses a no-field line)
+            ("mem", {"h": "x"}, {}, {}, {}, {}, 1),
+        ],
+        "measurement STRING, tags MAP<STRING,STRING>, ff MAP<STRING,DOUBLE>,"
+        " fi MAP<STRING,LONG>, fs MAP<STRING,STRING>,"
+        " fb MAP<STRING,BOOLEAN>, ts LONG",
+    )
+    lines = influx.to_influx_lines(
+        df, "measurement", "tags", "ff", "fi", "fs", "fb", "ts"
+    ).collect()
+    by_null = {r["line"] is None for r in lines}
+    assert by_null == {True, False}
+    line = next(r["line"] for r in lines if r["line"])
+    # tags sorted by key: dc < host name < z=k
+    assert line.index("dc=") < line.index("host\\ name=") < line.index("z\\=k=")
+    assert line.endswith(" 1700000000123456789")
+
+    parsed = influx.parse_influx_lines(
+        influx.to_influx_lines(
+            df, "measurement", "tags", "ff", "fi", "fs", "fb", "ts"
+        ).filter("line IS NOT NULL")
+    ).collect()
+    got = {
+        r["field_key"]: (r["field_type"], r["value"], r["value_str"])
+        for r in parsed
+    }
+    assert all(r["valid"] for r in parsed)
+    assert all(r["measurement"] == "cpu load,1" for r in parsed)
+    assert all(
+        dict(r["tags"])
+        == {"host name": "h 1", "dc": "us,east", "z=k": "v\\x"}
+        for r in parsed
+    )
+    assert got["usage"] == ("float", 0.55, None)
+    assert got["count"] == ("int", 42.0, None)
+    assert got["note"] == ("string", None, 'say "hi"\\now')
+    assert got["up"] == ("bool", 1.0, None)
