@@ -2685,6 +2685,89 @@ FROM s
 """
 
 
+def q_humio_events(spark, sf_dir):
+    # humio exporter (traces_exporter.go:118-198): resources without
+    # service.name are refused (valid flag), service.name is promoted out
+    # of the merged attrs, the span+resource merge is RESOURCE-wins
+    # (toHumioAttributes assignment order), non-empty library name/version
+    # ride in under otel.library.*, events tag by service name
+    from opentelemetry_collector_contrib_spark.sinks import humio
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    spans = ev.select(
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.substring(F.md5(eid.cast("string").cast("binary")), 1, 16)
+        .alias("span_id"),
+        F.when(eid % 3 == 0, "").otherwise("beef").alias("parent_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(u % 2 == 0, "SPAN_KIND_SERVER").otherwise("SPAN_KIND_CLIENT")
+        .alias("kind"),
+        F.when(et == "error", "STATUS_CODE_ERROR")
+        .otherwise("STATUS_CODE_UNSET").alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        (F.unix_timestamp("ts").cast("long") * F.lit(1000000000)
+         + (eid % 1000) * F.lit(1000)).alias("start_ns"),
+        (F.unix_timestamp("ts").cast("long") * F.lit(1000000000)
+         + (eid % 1000) * F.lit(1000) + F.lit(5000000)).alias("end_ns"),
+        F.when(
+            u % 7 == 0, F.create_map(F.lit("env"), F.lit("prod"))
+        ).otherwise(
+            F.create_map(
+                F.lit("service.name"),
+                F.concat(F.lit("svc"), (u % 3).cast("string")),
+                F.lit("env"), F.lit("prod"),
+                F.lit("shared"), F.lit("res-wins"),
+            )
+        ).alias("resource"),
+        F.create_map(
+            F.lit("shared"), F.lit("span-val"),
+            F.lit("http.status"), (F.lit(200) + eid % 3).cast("string"),
+        ).alias("attributes"),
+        F.when(eid % 2 == 0, F.lit("mylib")).otherwise(F.lit(""))
+        .alias("lib_name"),
+        F.lit("1.0").alias("lib_version"),
+    )
+    out = humio.humio_events(spans, tag_strategy=humio.TAG_SERVICE_NAME)
+    return out.select(
+        "tag", "timestamp", "trace_id", "span_id", "parent_span_id",
+        "name", "kind", "status_code", "status_description",
+        "service_name", "valid",
+        F.element_at("attributes", "shared").alias("shared"),
+        F.element_at("attributes", "env").alias("env"),
+        F.element_at("attributes", "service.name").alias("svc_left"),
+        F.element_at("attributes", humio.LIB_NAME_KEY).alias("lib"),
+        F.element_at("attributes", humio.LIB_VERSION_KEY).alias("libv"),
+    )
+
+
+ORACLE_HUMIO = """
+SELECT CASE WHEN user_id % 7 = 0 THEN ''
+            ELSE 'svc' || CAST(user_id % 3 AS VARCHAR) END AS tag,
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000
+    + (event_id % 1000) * 1000 AS timestamp,
+  md5(CAST(user_id AS VARCHAR)) AS trace_id,
+  substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+  CASE WHEN event_id % 3 = 0 THEN '' ELSE 'beef' END AS parent_span_id,
+  'evt-' || event_type AS name,
+  CASE WHEN user_id % 2 = 0 THEN 'SPAN_KIND_SERVER'
+       ELSE 'SPAN_KIND_CLIENT' END AS kind,
+  CASE WHEN event_type = 'error' THEN 'STATUS_CODE_ERROR'
+       ELSE 'STATUS_CODE_UNSET' END AS status_code,
+  CASE WHEN event_type = 'error' THEN 'boom' ELSE '' END
+    AS status_description,
+  CASE WHEN user_id % 7 = 0 THEN ''
+       ELSE 'svc' || CAST(user_id % 3 AS VARCHAR) END AS service_name,
+  user_id % 7 != 0 AS valid,
+  CASE WHEN user_id % 7 = 0 THEN 'span-val' ELSE 'res-wins' END AS shared,
+  'prod' AS env,
+  CAST(NULL AS VARCHAR) AS svc_left,
+  CASE WHEN event_id % 2 = 0 THEN 'mylib' END AS lib,
+  '1.0' AS libv
+FROM events
+"""
+
+
 def q_dynatrace_lines(spark, sf_dir):
     # Gauge + histogram ingest lines (sinks/dynatrace.py): name/key
     # normalization, quote-then-backslash value escaping, and the
@@ -3626,7 +3709,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influx_decode": q_influx_decode,
         "carbon_roundtrip": q_carbon_roundtrip,
         "prom_text_decode": q_prom_text_decode,
-        "wavefront_roundtrip": q_wavefront_roundtrip,
+        # (wavefront_roundtrip rotates beyond the budget: its only r4
+        # delta is the shared map_from_arrays_last_wins short-circuit,
+        # already re-verified in-budget by influx_decode,
+        # carbon_roundtrip, prom_text_decode AND influx_roundtrip)
+        "humio_events": q_humio_events,
         "embedding_neardup_banded": q_embedding_neardup_banded,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         # (statsd_window + statsd_percentiles stay r3-green: the timer_summary
@@ -3677,6 +3764,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============ beyond the ~50-row budget: r3-green, unchanged ======
         "statsd_window": q_statsd_window,
         "statsd_percentiles": q_statsd_percentiles,
+        "wavefront_roundtrip": q_wavefront_roundtrip,
         "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
         "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
@@ -3807,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
         "qsketch_quantile": ORACLE_QSKETCH_QUANTILE,
         "honeycomb_events": ORACLE_HONEYCOMB,
         "dynatrace_lines": ORACLE_DYNATRACE,
+        "humio_events": ORACLE_HUMIO,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,

@@ -392,3 +392,46 @@ def test_tanzu_span_translation(spark):
     bad = out["bad-trace"]
     assert bad["trace_uuid"] is None and not bad["valid"]
     assert dict(bad["tags"])["service"] == tanzu.DEFAULT_SERVICE
+
+
+def test_humio_event_semantics(spark):
+    """traces_exporter.go:118-198: missing service.name refuses the span,
+    resource WINS attr collisions (toHumioAttributes assignment order),
+    service.name is deleted after promotion, empty library info is
+    omitted, tag strategies select trace id / service / none."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import humio
+
+    df = spark.createDataFrame(
+        [
+            ("t1", "s1", "", "a", "SPAN_KIND_SERVER", "STATUS_CODE_OK", "",
+             100, 200, {"service.name": "svc", "shared": "res"},
+             {"shared": "span", "only": "x"}, "lib", "2.0"),
+            ("t2", "s2", "p", "b", "SPAN_KIND_CLIENT", "STATUS_CODE_UNSET",
+             "", 300, 400, {"env": "prod"}, {}, "", ""),  # no service.name
+        ],
+        "trace_id STRING, span_id STRING, parent_id STRING, name STRING,"
+        " kind STRING, status_code STRING, status_message STRING,"
+        " start_ns LONG, end_ns LONG, resource MAP<STRING,STRING>,"
+        " attributes MAP<STRING,STRING>, lib_name STRING, lib_version STRING",
+    )
+    out = {r["name"]: r for r in humio.humio_events(
+        df, tag_strategy=humio.TAG_SERVICE_NAME).collect()}
+    a = out["a"]
+    attrs = dict(a["attributes"])
+    assert a["valid"] and a["service_name"] == "svc" and a["tag"] == "svc"
+    assert "service.name" not in attrs          # promoted AND deleted
+    assert attrs["shared"] == "res"             # resource wins collision
+    assert attrs["only"] == "x"
+    assert attrs[humio.LIB_NAME_KEY] == "lib"
+    assert attrs[humio.LIB_VERSION_KEY] == "2.0"
+    assert a["timestamp"] == 100                # unix ns = start
+    b = out["b"]
+    assert not b["valid"] and b["service_name"] == ""
+    assert humio.LIB_NAME_KEY not in dict(b["attributes"])  # empty omitted
+
+    by_trace = humio.humio_events(df, tag_strategy=humio.TAG_TRACE_ID)
+    assert {r["tag"] for r in by_trace.collect()} == {"t1", "t2"}
+    untagged = humio.humio_events(df, tag_strategy=humio.TAG_NONE)
+    assert {r["tag"] for r in untagged.collect()} == {""}
