@@ -2685,6 +2685,93 @@ FROM s
 """
 
 
+def q_sls_logs(spark, sf_dir):
+    # alibabacloudlogservice exporter (tracedata_to_logservice.go:74-157 +
+    # logsdata_to_logservice.go:69-111): flat key/value log per span —
+    # end-second Time (NULL when end unset: server-stamped), host/service
+    # promoted out of the resource JSON, microsecond start/end/duration
+    # strings, lowercase OpenTracing kind, UNSET/OK/ERROR status, and
+    # sorted-key attribute JSON (Go json.Marshal order)
+    from opentelemetry_collector_contrib_spark.sinks import alibabacloud
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    start = (F.unix_timestamp("ts").cast("long") * F.lit(1000000000)
+             + (eid % 1000) * F.lit(1000))
+    spans = ev.select(
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.substring(F.md5(eid.cast("string").cast("binary")), 1, 16)
+        .alias("span_id"),
+        F.when(eid % 3 == 0, "").otherwise("beef").alias("parent_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(u % 3 == 0, "SPAN_KIND_SERVER")
+        .when(u % 3 == 1, "SPAN_KIND_CONSUMER")
+        .otherwise("SPAN_KIND_WEIRD").alias("kind"),
+        F.when(et == "error", "STATUS_CODE_ERROR")
+        .when(u % 2 == 0, "STATUS_CODE_OK")
+        .otherwise("STATUS_CODE_UNSET").alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        start.alias("start_ns"),
+        F.when(eid % 13 == 0, F.lit(0).cast("long"))
+        .otherwise(start + F.lit(7000000)).alias("end_ns"),
+        F.when(
+            u % 7 == 0,
+            F.create_map(F.lit("env"), F.lit("prod")),
+        ).otherwise(
+            F.create_map(
+                F.lit("host.name"), F.concat(F.lit("h"), (u % 4).cast("string")),
+                F.lit("service.name"), F.concat(F.lit("svc"), (u % 3).cast("string")),
+                F.lit("env"), F.lit("prod"),
+            )
+        ).alias("resource"),
+        # insertion order b-then-a: the sorted-key JSON must flip them
+        F.create_map(
+            F.lit("b.key"), (F.lit(200) + eid % 3).cast("string"),
+            F.lit("a.key"), et,
+        ).alias("attributes"),
+        F.lit("mylib").alias("lib_name"),
+        F.lit("1.0").alias("lib_version"),
+    )
+    return alibabacloud.sls_logs(spans)
+
+
+ORACLE_SLS = """
+SELECT
+  CASE WHEN event_id % 13 = 0 THEN NULL
+       ELSE CAST(epoch(date_trunc('second', ts)) AS BIGINT) END AS time,
+  CASE WHEN user_id % 7 = 0 THEN ''
+       ELSE 'h' || CAST(user_id % 4 AS VARCHAR) END AS host,
+  CASE WHEN user_id % 7 = 0 THEN ''
+       ELSE 'svc' || CAST(user_id % 3 AS VARCHAR) END AS service,
+  '{"env":"prod"}' AS resource,
+  'mylib' AS otlp_name,
+  '1.0' AS otlp_version,
+  md5(CAST(user_id AS VARCHAR)) AS traceID,
+  substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS spanID,
+  CASE WHEN event_id % 3 = 0 THEN '' ELSE 'beef' END AS parentSpanID,
+  CASE WHEN user_id % 3 = 0 THEN 'server'
+       WHEN user_id % 3 = 1 THEN 'consumer'
+       ELSE 'unspecified' END AS kind,
+  'evt-' || event_type AS name,
+  '' AS traceState,
+  CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000
+       + event_id % 1000 AS VARCHAR) AS start,
+  CAST(CASE WHEN event_id % 13 = 0 THEN 0
+            ELSE CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000
+                 + event_id % 1000 + 7000 END AS VARCHAR) AS "end",
+  CAST(CASE WHEN event_id % 13 = 0
+            THEN -(CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000
+                   + event_id % 1000)
+            ELSE 7000 END AS VARCHAR) AS duration,
+  '{"a.key":"' || event_type || '","b.key":"'
+    || CAST(200 + event_id % 3 AS VARCHAR) || '"}' AS attribute,
+  CASE WHEN event_type = 'error' THEN 'ERROR'
+       WHEN user_id % 2 = 0 THEN 'OK' ELSE 'UNSET' END AS statusCode,
+  CASE WHEN event_type = 'error' THEN 'boom' ELSE '' END AS statusMessage
+FROM events
+"""
+
+
 def q_humio_events(spark, sf_dir):
     # humio exporter (traces_exporter.go:118-198): resources without
     # service.name are refused (valid flag), service.name is promoted out
@@ -3708,12 +3795,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "azuremonitor_envelopes": q_azuremonitor_envelopes,
         "influx_decode": q_influx_decode,
         "carbon_roundtrip": q_carbon_roundtrip,
-        "prom_text_decode": q_prom_text_decode,
-        # (wavefront_roundtrip rotates beyond the budget: its only r4
-        # delta is the shared map_from_arrays_last_wins short-circuit,
-        # already re-verified in-budget by influx_decode,
-        # carbon_roundtrip, prom_text_decode AND influx_roundtrip)
+        # (wavefront_roundtrip + prom_text_decode rotate beyond the
+        # budget: their only r4 delta is the shared
+        # map_from_arrays_last_wins short-circuit, re-verified in-budget
+        # by influx_decode, carbon_roundtrip and influx_roundtrip)
         "humio_events": q_humio_events,
+        "sls_logs": q_sls_logs,
         "embedding_neardup_banded": q_embedding_neardup_banded,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         # (statsd_window + statsd_percentiles stay r3-green: the timer_summary
@@ -3765,6 +3852,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statsd_window": q_statsd_window,
         "statsd_percentiles": q_statsd_percentiles,
         "wavefront_roundtrip": q_wavefront_roundtrip,
+        "prom_text_decode": q_prom_text_decode,
         "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
         "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
@@ -3896,6 +3984,7 @@ def oracle_sql() -> dict[str, str]:
         "honeycomb_events": ORACLE_HONEYCOMB,
         "dynatrace_lines": ORACLE_DYNATRACE,
         "humio_events": ORACLE_HUMIO,
+        "sls_logs": ORACLE_SLS,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,

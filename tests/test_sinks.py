@@ -435,3 +435,38 @@ def test_humio_event_semantics(spark):
     assert {r["tag"] for r in by_trace.collect()} == {"t1", "t2"}
     untagged = humio.humio_events(df, tag_strategy=humio.TAG_NONE)
     assert {r["tag"] for r in untagged.collect()} == {""}
+
+
+def test_sls_log_translation(spark):
+    """tracedata_to_logservice.go:74-157: end-second Time (NULL when end
+    unset), host/service promotion out of the resource JSON, microsecond
+    time strings, OpenTracing kind shorts, sorted-key attribute JSON."""
+    from opentelemetry_collector_contrib_spark.sinks import alibabacloud
+
+    df = spark.createDataFrame(
+        [
+            ("t1", "s1", "", "a", "SPAN_KIND_CLIENT", "STATUS_CODE_OK",
+             "", 1_000_000_000_000, 1_000_000_007_000,
+             {"host.name": "h1", "service.name": "svc", "env": "prod"},
+             {"zz": "2", "aa": "1"}, "lib", "1.0"),
+            ("t2", "s2", "p", "b", "SPAN_KIND_WEIRD", "STATUS_CODE_UNSET",
+             "", 2_000_000_000_000, 0, {}, {}, "", ""),
+        ],
+        "trace_id STRING, span_id STRING, parent_id STRING, name STRING,"
+        " kind STRING, status_code STRING, status_message STRING,"
+        " start_ns LONG, end_ns LONG, resource MAP<STRING,STRING>,"
+        " attributes MAP<STRING,STRING>, lib_name STRING, lib_version STRING",
+    )
+    out = {r["name"]: r for r in alibabacloud.sls_logs(df).collect()}
+    a = out["a"]
+    assert a["time"] == 1000                       # end_ns // 1e9
+    assert (a["host"], a["service"]) == ("h1", "svc")
+    assert a["resource"] == '{"env":"prod"}'       # promoted keys excluded
+    assert a["attribute"] == '{"aa":"1","zz":"2"}'  # sorted like json.Marshal
+    assert (a["start"], a["end"], a["duration"]) == (
+        "1000000000", "1000000007", "7")
+    assert (a["kind"], a["statusCode"]) == ("client", "OK")
+    b = out["b"]
+    assert b["time"] is None                       # unset end: server-stamped
+    assert (b["host"], b["service"], b["resource"]) == ("", "", "{}")
+    assert (b["kind"], b["statusCode"]) == ("unspecified", "UNSET")
