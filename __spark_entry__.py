@@ -2772,6 +2772,92 @@ FROM events
 """
 
 
+def q_uptrace_spans(spark, sf_dir):
+    # uptrace exporter (exporter.go:41-100, translator.go:27-53):
+    # little-endian uint64 span/parent ids (decimal strings — the uint64
+    # range exceeds signed LONG), UNSPECIFIED folds into "internal",
+    # lowercase ok/error/unset status, raw ns times, null-valued attr
+    # entries dropped
+    from opentelemetry_collector_contrib_spark.sinks import uptrace
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    start = (F.unix_timestamp("ts").cast("long") * F.lit(1000000000))
+    spans = ev.select(
+        F.md5(u.cast("string").cast("binary")).alias("trace_id"),
+        F.substring(F.md5(eid.cast("string").cast("binary")), 1, 16)
+        .alias("span_id"),
+        F.when(eid % 3 == 0, "").otherwise(
+            F.substring(F.md5(F.concat(F.lit("p"), eid.cast("string"))
+                              .cast("binary")), 1, 16)
+        ).alias("parent_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(u % 5 == 0, "SPAN_KIND_PRODUCER")
+        .when(u % 5 == 1, "SPAN_KIND_CLIENT")
+        .otherwise("SPAN_KIND_UNSPECIFIED").alias("kind"),
+        F.when(et == "error", "STATUS_CODE_ERROR")
+        .when(u % 2 == 0, "STATUS_CODE_OK")
+        .otherwise("STATUS_CODE_UNSET").alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        start.alias("start_ns"),
+        (start + F.lit(9000000)).alias("end_ns"),
+        F.create_map(F.lit("env"), F.lit("prod")).alias("resource"),
+        # one NULL-valued entry on every 4th row — must be dropped
+        F.create_map(
+            F.lit("k"), et,
+            F.lit("maybe"), F.when(eid % 4 == 0, F.lit(None).cast("string"))
+            .otherwise(F.lit("v")),
+        ).alias("attributes"),
+        F.lit("mylib").alias("lib_name"),
+        F.lit("1.0").alias("lib_version"),
+    )
+    out = uptrace.uptrace_spans(spans)
+    return out.select(
+        "id", "parent_id", "trace_id", "name", "kind",
+        "start_time", "end_time", "status_code", "status_message",
+        "tracer_name", "tracer_version",
+        F.element_at("resource", "env").alias("env"),
+        F.element_at("attrs", "k").alias("attr_k"),
+        F.size("attrs").alias("n_attrs"),
+    )
+
+
+ORACLE_UPTRACE = """
+WITH s AS (
+  SELECT user_id AS u, event_id AS eid, event_type AS et, ts,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS sh,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE substr(md5('p' || CAST(event_id AS VARCHAR)), 1, 16)
+         END AS ph
+  FROM events
+)
+SELECT
+  CAST(CAST('0x' || substr(sh,15,2) || substr(sh,13,2) || substr(sh,11,2)
+    || substr(sh,9,2) || substr(sh,7,2) || substr(sh,5,2) || substr(sh,3,2)
+    || substr(sh,1,2) AS UBIGINT) AS VARCHAR) AS id,
+  CASE WHEN ph IS NULL THEN '0' ELSE
+    CAST(CAST('0x' || substr(ph,15,2) || substr(ph,13,2) || substr(ph,11,2)
+      || substr(ph,9,2) || substr(ph,7,2) || substr(ph,5,2) || substr(ph,3,2)
+      || substr(ph,1,2) AS UBIGINT) AS VARCHAR) END AS parent_id,
+  md5(CAST(u AS VARCHAR)) AS trace_id,
+  'evt-' || et AS name,
+  CASE WHEN u % 5 = 0 THEN 'producer'
+       WHEN u % 5 = 1 THEN 'client' ELSE 'internal' END AS kind,
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000 AS start_time,
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000 + 9000000
+    AS end_time,
+  CASE WHEN et = 'error' THEN 'error'
+       WHEN u % 2 = 0 THEN 'ok' ELSE 'unset' END AS status_code,
+  CASE WHEN et = 'error' THEN 'boom' ELSE '' END AS status_message,
+  'mylib' AS tracer_name,
+  '1.0' AS tracer_version,
+  'prod' AS env,
+  et AS attr_k,
+  CASE WHEN eid % 4 = 0 THEN 1 ELSE 2 END AS n_attrs
+FROM s
+"""
+
+
 def q_humio_events(spark, sf_dir):
     # humio exporter (traces_exporter.go:118-198): resources without
     # service.name are refused (valid flag), service.name is promoted out
@@ -3801,8 +3887,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by influx_decode, carbon_roundtrip and influx_roundtrip)
         "humio_events": q_humio_events,
         "sls_logs": q_sls_logs,
-        "embedding_neardup_banded": q_embedding_neardup_banded,
+        # (embedding_neardup_banded rotates beyond the budget: its r4
+        # delta — auto n_anchors + the numpy admission matrix — lives in
+        # the SHARED _anchor_cells, fully exercised in-budget by
+        # embedding_neardup_blocked; the banded-only salted JVM-fold
+        # verify is byte-identical since its r3-green row)
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
+        "uptrace_spans": q_uptrace_spans,
         # (statsd_window + statsd_percentiles stay r3-green: the timer_summary
         # method-switch commit added only an early-return branch — the default
         # exact path is byte-identical, pytest pins the switch, and
@@ -3853,6 +3944,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statsd_percentiles": q_statsd_percentiles,
         "wavefront_roundtrip": q_wavefront_roundtrip,
         "prom_text_decode": q_prom_text_decode,
+        "embedding_neardup_banded": q_embedding_neardup_banded,
         "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
         "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
@@ -3985,6 +4077,7 @@ def oracle_sql() -> dict[str, str]:
         "dynatrace_lines": ORACLE_DYNATRACE,
         "humio_events": ORACLE_HUMIO,
         "sls_logs": ORACLE_SLS,
+        "uptrace_spans": ORACLE_UPTRACE,
         "multiline_assemble": ORACLE_MULTILINE,
         "hec_roundtrip": ORACLE_HEC,
         "carbon_roundtrip": ORACLE_CARBON,

@@ -470,3 +470,38 @@ def test_sls_log_translation(spark):
     assert b["time"] is None                       # unset end: server-stamped
     assert (b["host"], b["service"], b["resource"]) == ("", "", "{}")
     assert (b["kind"], b["statusCode"]) == ("unspecified", "UNSET")
+
+
+def test_uptrace_span_translation(spark):
+    """translator.go:27-53 + exporter.go:61-77: little-endian uint64 ids
+    (full unsigned range), UNSPECIFIED folds to internal, null attr
+    entries dropped, raw ns times."""
+    from opentelemetry_collector_contrib_spark.sinks import uptrace
+
+    df = spark.createDataFrame(
+        [
+            ("t1", "0100000000000000", "", "a", "SPAN_KIND_UNSPECIFIED",
+             "STATUS_CODE_OK", "", 100, 200,
+             {"env": "prod"}, {"k": "v", "n": None}, "lib", "1.0"),
+            ("t2", "ffffffffffffffff", "0200000000000000", "b",
+             "SPAN_KIND_SERVER", "STATUS_CODE_ERROR", "boom", 300, 400,
+             {}, {}, "", ""),
+        ],
+        "trace_id STRING, span_id STRING, parent_id STRING, name STRING,"
+        " kind STRING, status_code STRING, status_message STRING,"
+        " start_ns LONG, end_ns LONG, resource MAP<STRING,STRING>,"
+        " attributes MAP<STRING,STRING>, lib_name STRING, lib_version STRING",
+    )
+    out = {r["name"]: r for r in uptrace.uptrace_spans(df).collect()}
+    a = out["a"]
+    # 0x01 in byte 0 little-endian = 1
+    assert a["id"] == "1" and a["parent_id"] == "0"
+    assert a["kind"] == "internal"           # UNSPECIFIED folds in
+    assert dict(a["attrs"]) == {"k": "v"}    # null entry dropped
+    assert (a["start_time"], a["end_time"]) == (100, 200)
+    b = out["b"]
+    # full unsigned range survives (exceeds signed int64)
+    assert b["id"] == "18446744073709551615"
+    assert b["parent_id"] == "2"
+    assert (b["kind"], b["status_code"], b["status_message"]) == (
+        "server", "error", "boom")
