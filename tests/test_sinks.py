@@ -505,3 +505,62 @@ def test_uptrace_span_translation(spark):
     assert b["parent_id"] == "2"
     assert (b["kind"], b["status_code"], b["status_message"]) == (
         "server", "error", "boom")
+
+
+def test_elastic_doc_semantics(spark):
+    """traces.go:42-357: root-or-SERVER transaction split, type ladders,
+    destination resource default-port append, outcome/result mapping,
+    label-key cleaning, service-name sanitization."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks import elastic
+
+    df = spark.createDataFrame(
+        [
+            # root client span -> transaction (root wins over kind)
+            ("t", "s1", "", "root-client", "SPAN_KIND_CLIENT",
+             "STATUS_CODE_OK", 0, 1_500_000,
+             {"http.method": "GET"}, {"service.name": "my svc!"}),
+            # non-root SERVER -> transaction
+            ("t", "s2", "p", "server", "SPAN_KIND_SERVER",
+             "STATUS_CODE_ERROR", 0, 2_000_000, {}, {}),
+            # non-root client with http.url, explicit port
+            ("t", "s3", "p", "http-span", "SPAN_KIND_CLIENT",
+             "STATUS_CODE_UNSET", 0, 0,
+             {"http.url": "http://h.example:8080/x"}, {}),
+            # non-root client with https url, default port appended
+            ("t", "s4", "p", "https-span", "SPAN_KIND_CLIENT",
+             "STATUS_CODE_UNSET", 0, 0,
+             {"http.url": "https://h.example/x"}, {}),
+            # db span
+            ("t", "s5", "p", "db-span", "SPAN_KIND_CLIENT",
+             "STATUS_CODE_UNSET", 0, 0, {"db.system": "mysql"}, {}),
+            # plain app span with a label key needing cleaning
+            ("t", "s6", "p", "app-span", "SPAN_KIND_CLIENT",
+             "STATUS_CODE_UNSET", 0, 0, {'weird.key*"x': "v"}, {}),
+        ],
+        "trace_id STRING, span_id STRING, parent_id STRING, name STRING,"
+        " kind STRING, status_code STRING, start_ns LONG, end_ns LONG,"
+        " attributes MAP<STRING,STRING>, resource MAP<STRING,STRING>",
+    )
+    out = {r["name"]: r for r in elastic.elastic_docs(df).collect()}
+    rc = out["root-client"]
+    assert rc["doc_type"] == "transaction" and rc["type"] == "request"
+    assert rc["result"] == "OK" and rc["outcome"] == "success"
+    assert rc["duration_ms"] == 1.5          # fractional millis
+    assert rc["service_name"] == "my svc_"   # '!' sanitized
+    sv = out["server"]
+    assert sv["doc_type"] == "transaction" and sv["type"] == "unknown"
+    assert sv["result"] == "Error" and sv["outcome"] == "failure"
+    h = out["http-span"]
+    assert (h["doc_type"], h["type"], h["subtype"]) == ("span", "external", "http")
+    assert h["destination_resource"] == "h.example:8080"
+    assert h["outcome"] == ""                # UNSET: server decides
+    hs = out["https-span"]
+    assert hs["destination_resource"] == "h.example:443"  # default appended
+    db = out["db-span"]
+    assert (db["type"], db["subtype"], db["destination_resource"]) == (
+        "db", "mysql", "mysql")
+    app = out["app-span"]
+    assert app["type"] == "app" and app["subtype"] is None
+    assert dict(app["labels"]) == {"weird_key__x": "v"}
