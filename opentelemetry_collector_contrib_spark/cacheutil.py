@@ -31,6 +31,18 @@ def track(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def track_append(df: DataFrame, key: str) -> DataFrame:
+    """Persist ``df`` and APPEND it under ``key`` WITHOUT evicting the
+    earlier entries for the same key — for operators whose result reads a
+    CHAIN of pinned intermediates (e.g. one persisted level per nesting
+    depth in an iterative explode).  Callers invoke :func:`release` once
+    at the start of each invocation so only the previous invocation's
+    chain is evicted, never the chain being built."""
+    df.persist()
+    _TRACKED.setdefault(key, []).append(df)
+    return df
+
+
 def register(df: DataFrame, key: str) -> DataFrame:
     """Register an ALREADY-persisted ``df`` under ``key``, evicting the
     previous invocation's blocks for the same key."""

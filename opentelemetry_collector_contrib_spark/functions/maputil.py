@@ -49,3 +49,25 @@ def map_from_arrays_last_wins(keys: Column, values: Column) -> Column:
         F.size(F.array_distinct(keys)) == F.size(keys),
         F.map_from_arrays(keys, values),
     ).otherwise(F.map_from_entries(deduped))
+
+
+def map_from_entries_last_wins(entries: Column) -> Column:
+    """``map_from_entries`` with LAST-occurrence-wins key dedupe — the Go
+    ``m[k] = v`` overwrite order — independent of the session's
+    ``mapKeyDedupPolicy``.  Same short-circuit as
+    :func:`map_from_arrays_last_wins`: one O(n) ``array_distinct`` probe
+    over the keys routes the overwhelmingly common no-duplicate row around
+    the quadratic later-occurrence scan; CaseWhen only evaluates the taken
+    branch, so ``map_from_entries`` never sees a duplicated key."""
+    keys = F.transform(entries, lambda e: e["key"])
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.when(
+        F.size(F.array_distinct(keys)) == F.size(keys),
+        F.map_from_entries(entries),
+    ).otherwise(F.map_from_entries(deduped))

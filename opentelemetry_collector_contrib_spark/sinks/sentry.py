@@ -44,9 +44,12 @@ adversarial input) into orphans instead of an infinite loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from opentelemetry_collector_contrib_spark import cacheutil
+from opentelemetry_collector_contrib_spark.functions.maputil import (
+    map_from_entries_last_wins,
+)
 
 SDK_NAME = "sentry.opentelemetry"   # sentry_exporter.go:32-33
 SDK_VERSION = "0.0.2"
@@ -55,20 +58,6 @@ _CHILD_SPAN_T = (
     "array<struct<span_id:string,parent_span_id:string,op:string,"
     "description:string,status:string,start_ns:bigint,end_ns:bigint>>"
 )
-
-
-def _entries_last_wins(entries: Column) -> Column:
-    """map_from_entries with LAST-occurrence-wins key dedupe — the Go
-    ``tags[k] = v`` overwrite order — independent of the session's
-    mapKeyDedupPolicy (same pattern as functions/maputil.py)."""
-    deduped = F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + F.lit(2), F.size(entries)),
-            lambda later: later["key"] == e["key"],
-        ),
-    )
-    return F.map_from_entries(deduped)
 
 
 def to_sentry_spans(spans: DataFrame) -> DataFrame:
@@ -144,7 +133,7 @@ def to_sentry_spans(spans: DataFrame) -> DataFrame:
         F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parent_span_id"),
         op.alias("op"),
         description.alias("description"),
-        _entries_last_wins(entries).alias("tags"),
+        map_from_entries_last_wins(entries).alias("tags"),
         status.alias("status"),
         "start_ns", "end_ns",
     )
@@ -161,6 +150,15 @@ def resolve_roots(spans: DataFrame, max_rounds: int = 20) -> DataFrame:
     round is one equi-join on (trace_id, ptr→span_id). The per-round
     pending count is a scalar driver collect, same bounded pattern as
     dedup.connected_components.
+
+    Cache discipline (materialize-then-release, the same order
+    dedup.connected_components follows): each round's pending count runs
+    against the NEW state while the previous round's blocks are still
+    pinned — the count scans every partition, so the new state is fully
+    cached BEFORE ``cacheutil.register`` evicts its predecessor.  The
+    old order (evict first, materialize later via a take-1 probe) forced
+    every round to recompute the whole prior lineage from the round-0
+    plan — O(rounds²) work.
     """
     state = spans.select(
         "trace_id", "span_id",
@@ -169,13 +167,17 @@ def resolve_roots(spans: DataFrame, max_rounds: int = 20) -> DataFrame:
         "kind", F.when(F.col("ptr") == "", "root").otherwise("pending")
     ).withColumn(
         "root_id", F.when(F.col("kind") == "root", F.col("span_id"))
-    )
-    state = cacheutil.track(state, key="sentry_state")
+    ).persist()
+    cacheutil.register(state, key="sentry_state")
 
+    # n_pending is unknown (-1) until round 1's count; running one join
+    # round unconditionally is cheaper than a dedicated pre-count job —
+    # an all-roots batch joins zero pending rows and exits after it.
+    n_pending = -1
     for _ in range(max_rounds):
-        pending = state.filter(F.col("kind") == "pending")
-        if pending.isEmpty():
+        if n_pending == 0:
             break
+        pending = state.filter(F.col("kind") == "pending")
         jumped = pending.alias("c").join(
             state.alias("a"),
             (F.col("c.trace_id") == F.col("a.trace_id"))
@@ -195,10 +197,22 @@ def resolve_roots(spans: DataFrame, max_rounds: int = 20) -> DataFrame:
             .when(F.col("a.kind") == "grouped", F.col("a.root_id"))
             .alias("root_id"),
         )
-        state = cacheutil.track(
-            state.filter(F.col("kind") != "pending").unionByName(jumped),
-            key="sentry_state",
-        )
+        # the union of (cached non-pending, 32ish parts) + (join output,
+        # shuffle_partitions parts) would otherwise GROW the state's
+        # partition count every round — by round 4 each tiny count/join
+        # schedules hundreds of near-empty tasks.  coalesce is narrow (no
+        # shuffle) and pins the per-round task count to the session's
+        # parallelism.
+        nparts = spans.sparkSession.sparkContext.defaultParallelism
+        new_state = (
+            state.filter(F.col("kind") != "pending").unionByName(jumped)
+        ).coalesce(nparts).persist()
+        # full-scan count materializes new_state while the old state's
+        # blocks (which its lineage reads) are still pinned; only then
+        # does register() release the predecessor.
+        n_pending = new_state.filter(F.col("kind") == "pending").count()
+        cacheutil.register(new_state, key="sentry_state")
+        state = new_state
 
     # cycle guard: anything never resolving is treated as orphan
     return state.select(
@@ -218,7 +232,11 @@ def sentry_transactions(spans: DataFrame, max_rounds: int = 20) -> DataFrame:
     order is arrival order, which a distributed engine cannot and
     should not promise).
     """
-    ss = to_sentry_spans(spans)
+    # pin the converted spans: the anchors join, the children join AND the
+    # resolver's state all read ss — unpersisted, the (window + self-join +
+    # tags-projection) input lineage would run three times.  The resolver's
+    # first pending count materializes ss into cache as a side effect.
+    ss = cacheutil.track(to_sentry_spans(spans), key="sentry_spans")
     roots = resolve_roots(ss, max_rounds=max_rounds)
 
     anchors = ss.join(

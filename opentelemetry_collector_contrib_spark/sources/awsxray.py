@@ -51,6 +51,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_contrib_spark import cacheutil
+
 # one nesting level of an X-Ray segment document; subsegments stay raw
 # JSON text so the next level parses them with this same schema
 SEGMENT_SCHEMA = (
@@ -366,18 +368,34 @@ def segments_to_spans(
     span rows — ToTraces/segToSpans as an iterative explode.
 
     ``max_depth`` bounds the plan depth; levels stop early as soon as a
-    level carries no subsegments (one cheap existence probe per level —
-    X-Ray limits a document to 64 KB so real nesting is shallow).
+    level carries no subsegments (X-Ray limits a document to 64 KB so
+    real nesting is shallow).
+
+    Each level is PERSISTED and fully materialized (the next-level count
+    scans every partition, pulling the level into cache from its cached
+    parent) before the next level derives from it.  So every per-depth
+    output branch in the final union and every early-exit probe reads
+    its level's parsed structs from cache once — the unpersisted plan
+    re-derived the whole ``from_json`` ancestor chain per depth AND per
+    probe, O(depth²) JSON parses of the raw documents.  The chain of
+    pinned levels lives under one cacheutil key, evicted at the next
+    invocation (or ``cacheutil.release_all``), never mid-build.
     """
-    level = docs.select(
-        F.from_json(F.col(doc_col), SEGMENT_SCHEMA).alias("p"),
-        F.lit(None).cast("string").alias("inh_trace"),
-        F.lit(None).cast("string").alias("inh_parent"),
-        F.lit(None).cast("map<string,string>").alias("inh_resource"),
+    cacheutil.release("xray_levels")
+    level = cacheutil.track_append(
+        docs.select(
+            F.from_json(F.col(doc_col), SEGMENT_SCHEMA).alias("p"),
+            F.lit(None).cast("string").alias("inh_trace"),
+            F.lit(None).cast("string").alias("inh_parent"),
+            F.lit(None).cast("map<string,string>").alias("inh_resource"),
+        ),
+        key="xray_levels",
     )
     outputs = []
     for depth in range(max_depth):
         outputs.append(_level_spans(level))
+        if depth + 1 == max_depth:
+            break
         children = level.select(
             F.coalesce(F.col("p")["trace_id"], F.col("inh_trace")).alias(
                 "inh_trace"
@@ -388,12 +406,15 @@ def segments_to_spans(
             ),
             F.explode(F.col("p")["subsegments"]).alias("doc"),
         )
-        level = children.select(
-            F.from_json(F.col("doc"), SEGMENT_SCHEMA).alias("p"),
-            "inh_trace",
-            "inh_parent",
-            "inh_resource",
+        level = cacheutil.track_append(
+            children.select(
+                F.from_json(F.col("doc"), SEGMENT_SCHEMA).alias("p"),
+                "inh_trace",
+                "inh_parent",
+                "inh_resource",
+            ),
+            key="xray_levels",
         )
-        if depth + 1 < max_depth and level.isEmpty():
+        if level.count() == 0:
             break
     return reduce(DataFrame.unionByName, outputs)

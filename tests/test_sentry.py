@@ -183,3 +183,30 @@ def test_transactions_shape_and_span_attachment(spark):
     o = got["o"]
     assert o.anchor_kind == "orphan" and o.spans == []
     assert o.transaction == "lonely"
+
+
+# -- cache discipline (VERDICT r4 item 1) -------------------------------------
+
+
+def test_resolve_roots_cache_rotation(spark):
+    """Each round must materialize the new state BEFORE the previous
+    round's persisted blocks are released (materialize-then-release, the
+    connected_components discipline) — and at most ONE invocation's state
+    stays pinned under the cacheutil key afterwards."""
+    from opentelemetry_collector_contrib_spark import cacheutil
+
+    cacheutil.release("sentry_state")
+    rows = [_span("r")] + [
+        _span(f"s{i}", f"s{i-1}" if i else "r") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).select(
+        "trace_id", "span_id", "parent_span_id")
+    out1 = sentry.resolve_roots(df, max_rounds=10)
+    assert all(r.kind in ("root", "grouped") for r in out1.collect())
+    tracked = cacheutil._TRACKED.get("sentry_state", [])
+    assert len(tracked) == 1, "exactly one round's state may stay pinned"
+    assert tracked[0].storageLevel.useMemory
+    # a second invocation evicts the first invocation's state
+    sentry.resolve_roots(df, max_rounds=10).collect()
+    assert len(cacheutil._TRACKED.get("sentry_state", [])) == 1
+    cacheutil.release("sentry_state")

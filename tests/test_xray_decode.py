@@ -203,3 +203,32 @@ def test_exporter_roundtrip(spark):
     # 503 -> ERROR, 200 -> UNSET through the decode status mapping
     assert back["22" * 8]["status_code"] == "ERROR"
     assert back["11" * 8]["status_code"] == "UNSET"
+
+
+# -- per-level cache discipline (VERDICT r4 item 2) ---------------------------
+
+
+def test_levels_pinned_once_per_invocation(spark):
+    """segments_to_spans pins one persisted DataFrame per nesting level
+    under a single cacheutil key; a later invocation evicts the previous
+    chain, never its own mid-build."""
+    from opentelemetry_collector_contrib_spark import cacheutil
+
+    doc = json.dumps({
+        "name": "svc", "id": "aaaaaaaaaaaaaaaa", "trace_id": TRACE,
+        "start_time": 1.0, "end_time": 2.0,
+        "subsegments": [{
+            "name": "inner", "id": "bbbbbbbbbbbbbbbb",
+            "start_time": 1.1, "end_time": 1.9,
+        }],
+    })
+    docs = spark.createDataFrame([(doc,)], "doc STRING")
+    out = xrx.segments_to_spans(docs, max_depth=4)
+    assert out.count() == 2
+    chain = cacheutil._TRACKED.get("xray_levels", [])
+    # level 0 (root), level 1 (subsegment), level 2 (empty, early exit)
+    assert 2 <= len(chain) <= 4
+    assert all(df.storageLevel.useMemory for df in chain)
+    xrx.segments_to_spans(docs, max_depth=4).count()
+    assert 2 <= len(cacheutil._TRACKED.get("xray_levels", [])) <= 4
+    cacheutil.release("xray_levels")
