@@ -12,7 +12,12 @@ $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
   {"metric": ..., "value": docs_per_sec, "unit": "docs/sec",
-   "queries": {name: seconds}, "sf": ..., "cores": N, "pages": N}
+   "queries": {name: seconds}, "steal_pct": {name: pct},
+   "sf": ..., "cores": N, "pages": N}
+
+Every timed row is bracketed with /proc/stat readings and carries its own
+hypervisor-steal percentage ("steal_pct"), so a host-degraded number is
+attributable per row without a side-channel journal.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES (default 400000),
@@ -85,6 +90,33 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line —
+    same counters the per-round steal journals sample.  Returns (0, 0)
+    when /proc/stat is unavailable (non-Linux)."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except OSError:
+        return 0, 0
+
+
+class _StealMeter:
+    """Bracket a timed region with /proc/stat readings so every bench row
+    carries its own hypervisor-steal percentage — a contaminated row
+    self-documents instead of needing a side-channel journal narrative."""
+
+    def __enter__(self):
+        self._s0, self._t0 = _jiffies()
+        return self
+
+    def __exit__(self, *exc):
+        s1, t1 = _jiffies()
+        dt = t1 - self._t0
+        self.steal_pct = round(100.0 * (s1 - self._s0) / dt, 1) if dt > 0 else 0.0
+        return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -117,12 +149,16 @@ def main() -> None:
         # cache of the input, shuffle-service spin-up, one python worker per
         # core); run 2 is the steady state a long job sustains
         times = []
+        steal: dict[str, float] = {}
+        e2e_steals = []
         for i in range(2):
-            t0 = time.perf_counter()
-            res = runner.run_pipeline(
-                spark, pages, out_dir=os.path.join(work, f"out{i}"), write=True
-            )
-            times.append(time.perf_counter() - t0)
+            with _StealMeter() as sm:
+                t0 = time.perf_counter()
+                res = runner.run_pipeline(
+                    spark, pages, out_dir=os.path.join(work, f"out{i}"), write=True
+                )
+                times.append(time.perf_counter() - t0)
+            e2e_steals.append(sm.steal_pct)
             assert res.metrics.conservation_ok()
         e2e = min(times)
         docs_per_sec = n_pages / e2e
@@ -132,14 +168,18 @@ def main() -> None:
             "pipeline_e2e": round(e2e, 3),
             "pipeline_e2e_cold": round(max(times), 3),
         }
+        steal["pipeline_e2e"] = e2e_steals[times.index(e2e)]
+        steal["pipeline_e2e_cold"] = e2e_steals[times.index(max(times))]
         if run_queries:
             import __spark_entry__ as entrymod
 
             qs = entrymod.queries()
             for name in HEADLINE_QUERIES:
-                t0 = time.perf_counter()
-                force(qs[name](spark, sf_dir))
-                qsec[name] = round(time.perf_counter() - t0, 3)
+                with _StealMeter() as sm:
+                    t0 = time.perf_counter()
+                    force(qs[name](spark, sf_dir))
+                    qsec[name] = round(time.perf_counter() - t0, 3)
+                steal[name] = sm.steal_pct
 
         print(
             json.dumps(
@@ -148,6 +188,11 @@ def main() -> None:
                     "value": round(docs_per_sec, 1),
                     "unit": "docs/sec",
                     "queries": qsec,
+                    # per-row hypervisor steal%% over each query's timed
+                    # window (same /proc/stat counters as the round steal
+                    # journals) — rows with high steal are host-degraded,
+                    # not plan regressions
+                    "steal_pct": steal,
                     "sf": sf,
                     "cores": cores,
                     "pages": n_pages,
