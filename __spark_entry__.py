@@ -2462,6 +2462,138 @@ FROM events
 """
 
 
+def q_logzio_docs(spark, sf_dir):
+    # logzio exporter (exporter.go:98-112): spans -> Jaeger-model Logz.io
+    # span docs; translation ladder from the in-reference
+    # protospan_to_jaegerthrift.go — signed-int64 ids, epoch-µs times,
+    # typed tags with GUARDED span.kind/status appends (attr-provided
+    # keys suppress the computed tags), CHILD_OF/FOLLOWS_FROM references,
+    # unknown-service-name process fallback; invalid spans (zero /
+    # undecodable ids) are flagged — the ones pushTraceData drops.
+    from opentelemetry_collector_contrib_spark.sinks import logzio
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+
+    def tag(k, t, v):
+        return F.struct(
+            F.lit(k).alias("key"), F.lit(t).alias("vtype"), v.alias("value")
+        )
+
+    attrs = F.filter(
+        F.array(
+            F.when(eid % 2 == 0,
+                   tag("http.url", "string",
+                       F.concat(F.lit("https://x/"), et))),
+            tag("retry", "long", (eid % 4).cast("string")),
+            # spoofs exercising the span.kind / status guards
+            F.when(eid % 11 == 0, tag("span.kind", "string", F.lit("spoofed"))),
+            F.when(eid % 13 == 0, tag("status.code", "string", F.lit("999"))),
+        ),
+        lambda e: e.isNotNull(),
+    )
+    link_t = ("array<struct<trace_id:string,span_id:string,"
+              "is_parent:boolean>>")
+    links = F.when(
+        eid % 2 == 1,
+        F.array(F.struct(
+            F.lpad(F.lower(F.hex(u + 1)), 32, "0").alias("trace_id"),
+            F.lpad(F.lower(F.hex(eid + 7)), 16, "0").alias("span_id"),
+            (eid % 4 == 1).alias("is_parent"),
+        )),
+    ).otherwise(F.array().cast(link_t))
+
+    spans = ev.select(
+        F.lpad(F.lower(F.hex(u + 1)), 32, "0").alias("trace_id"),
+        F.lpad(F.lower(F.hex(eid + 1)), 16, "0").alias("span_id"),
+        F.when(eid % 3 == 0, "")
+        .when(eid % 5 == 0, "zzzzzzzzzzzzzzzz")      # undecodable parent
+        .otherwise(F.lpad(F.lower(F.hex(u + 1)), 16, "0"))
+        .alias("parent_span_id"),
+        F.concat(F.lit("evt-"), et).alias("name"),
+        F.when(u % 4 == 0, "SPAN_KIND_SERVER")
+        .when(u % 4 == 1, "SPAN_KIND_CLIENT")
+        .when(u % 4 == 2, "SPAN_KIND_PRODUCER")
+        .otherwise("SPAN_KIND_UNSPECIFIED").alias("kind"),
+        F.when(eid % 7 == 0, F.lit(None).cast("long"))
+        .otherwise((eid % 3).cast("long")).alias("status_code"),
+        F.when(et == "error", "boom").otherwise("").alias("status_message"),
+        attrs.alias("attrs"),
+        links.alias("links"),
+        F.when(u % 10 == 0, "").otherwise(
+            F.concat(F.lit("svc"), (u % 3).cast("string"))
+        ).alias("service_name"),
+        F.when(u % 10 == 0, F.create_map().cast("map<string,string>"))
+        .otherwise(F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), (u % 5).cast("string"))
+        )).alias("resource"),
+        (eid * 1000000 + 123).cast("long").alias("start_us"),
+        (eid * 1000000 + 123 + eid % 1000).cast("long").alias("end_us"),
+    )
+    out = logzio.logzio_docs(spans)
+    fmt_tag = lambda t: F.concat(  # noqa: E731
+        t["key"], F.lit("="), t["vtype"], F.lit(":"), t["value"])
+    return out.select(
+        "trace_id_high", "trace_id_low", "span_id_long",
+        "parent_span_id_long", "operation_name",
+        "start_us", "start_ms", "duration_us",
+        F.concat_ws(",", F.transform("jaeger_tags", fmt_tag)).alias("tags_str"),
+        F.concat_ws(",", F.transform(
+            "references",
+            lambda r: F.concat_ws(":", r["ref_type"],
+                                  r["trace_id_high"].cast("string"),
+                                  r["trace_id_low"].cast("string"),
+                                  r["span_id"].cast("string")),
+        )).alias("refs_str"),
+        "service_name",
+        F.concat_ws(",", F.transform("process_tags", fmt_tag)).alias(
+            "process_str"),
+        "type", "valid",
+    )
+
+
+ORACLE_LOGZIO = """
+SELECT CAST(0 AS BIGINT) AS trace_id_high,
+       user_id + 1 AS trace_id_low,
+       event_id + 1 AS span_id_long,
+       CASE WHEN event_id % 3 = 0 THEN 0
+            WHEN event_id % 5 = 0 THEN NULL
+            ELSE user_id + 1 END AS parent_span_id_long,
+       'evt-' || event_type AS operation_name,
+       event_id * 1000000 + 123 AS start_us,
+       event_id * 1000 AS start_ms,
+       event_id % 1000 AS duration_us,
+       concat_ws(',',
+         CASE WHEN event_id % 2 = 0
+              THEN 'http.url=string:https://x/' || event_type END,
+         'retry=long:' || CAST(event_id % 4 AS VARCHAR),
+         CASE WHEN event_id % 11 = 0 THEN 'span.kind=string:spoofed'
+              WHEN user_id % 4 = 0 THEN 'span.kind=string:server'
+              WHEN user_id % 4 = 1 THEN 'span.kind=string:client' END,
+         CASE WHEN event_id % 13 = 0 THEN 'status.code=string:999'
+              WHEN event_id % 7 <> 0
+              THEN 'status.code=long:' || CAST(event_id % 3 AS VARCHAR) END,
+         CASE WHEN event_id % 13 <> 0 AND event_id % 7 <> 0
+                   AND event_type = 'error'
+              THEN 'status.message=string:boom' END
+       ) AS tags_str,
+       CASE WHEN event_id % 2 = 1 THEN
+         (CASE WHEN event_id % 4 = 1 THEN 'CHILD_OF'
+               ELSE 'FOLLOWS_FROM' END)
+         || ':0:' || CAST(user_id + 1 AS VARCHAR)
+         || ':' || CAST(event_id + 7 AS VARCHAR)
+       ELSE '' END AS refs_str,
+       CASE WHEN user_id % 10 = 0 THEN 'unknown-service-name'
+            ELSE 'svc' || CAST(user_id % 3 AS VARCHAR) END AS service_name,
+       CASE WHEN user_id % 10 = 0 THEN ''
+            ELSE 'host=string:h' || CAST(user_id % 5 AS VARCHAR)
+       END AS process_str,
+       'span' AS type,
+       NOT (event_id % 3 <> 0 AND event_id % 5 = 0) AS valid
+FROM events
+"""
+
+
 def q_azuremonitor_envelopes(spark, sf_dir):
     # azuremonitor exporter (trace_to_envelope.go:53-156): Request vs
     # RemoteDependency split by span kind (UNSPECIFIED -> INTERNAL ->
@@ -3943,27 +4075,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DRIVER BUDGET NOTE: the driver's correctness gate verifies roughly
-    # the FIRST 50 entries in registry order (r2 and r3 checked exactly
+    # the FIRST 50 entries in registry order (r2/r3/r4 checked exactly
     # positions 1-50).  Every query that has never had a green driver row
     # — and every query whose implementation changed since its last green
     # row — MUST sit inside the first 50 slots until verified; rotate
-    # afterwards.  Round-4 layout: 4 new-r4 receivers/scale-paths, then
-    # the changed-in-r4 block (incl. the r4 exporter additions landed
-    # mid-round), then the 29 entries whose last row was r2, then the new
-    # webtext/exporter queries; each rotation OUT of the budget carries
-    # an inline justification.  Every entry beyond slot 50 is green-in-r3
-    # on byte-identical code or justified inline, and ALL 94 were
-    # re-verified locally this round (tools/check_contract.py sf0.01:
-    # 94/94).  Redundant exact-baseline variants whose banded/pruned
-    # siblings share the same oracle live in demoted_queries() and are
-    # verified by pytest (tests/test_driver_contract.py) instead of
-    # consuming driver slots.
+    # afterwards.  Round-5 layout: the new logzio exporter, the two
+    # r5-changed queries (xray_decode, sentry_transactions), then
+    # domain_stats (the single entry that had never had a driver row —
+    # VERDICT r4 item 4), then the r4-green set unchanged in r5; the two
+    # rotations OUT (signalfx_delta, qsketch_build) carry inline
+    # sibling-coverage justifications.  Every entry beyond slot 50 is
+    # r3/r4-green on code unchanged since its row.  Redundant
+    # exact-baseline variants whose banded/pruned siblings share the
+    # same oracle live in demoted_queries() and are verified by pytest
+    # (tests/test_driver_contract.py) instead of consuming driver slots.
     return {
-        # ============ round-4 first-50 rotation (VERDICT r3 item 2) ======
-        # --- block 1: new in r4, never driver-checked ---
+        # ============ round-5 first-50 rotation (VERDICT r4 items 4,5,9) =
+        # --- r5 block 1: new in r5, never driver-checked ---
+        "logzio_docs": q_logzio_docs,
+        # --- r5 block 2: implementation changed in r5 (re-verify) ---
+        #     xray_decode: per-level persisted explode (O(depth) parses);
+        #     sentry_transactions: materialize-then-release state
+        #     rotation, coalesced union, pinned span conversion, shared
+        #     map_from_entries_last_wins short-circuit
         "xray_decode": q_xray_decode,
-        "signalfx_decode": q_signalfx_decode,
         "sentry_transactions": q_sentry_transactions,
+        # --- r5 block 3: the one entry that never had a driver row
+        #     (VERDICT r4 item 4) ---
+        "domain_stats": q_domain_stats,
+        # ============ r4-green on code unchanged in r5 ====================
+        "signalfx_decode": q_signalfx_decode,
         "statsd_percentiles_sketch": q_statsd_percentiles_sketch,
         # --- block 2: implementation changed in r4 (re-verify) ---
         #     dedup_clusters: convergence witness; pii_scrub: count-on-
@@ -4018,10 +4159,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metricstransform_label_values": q_metricstransform_label_values,
         "metricstransform_ops": q_metricstransform_ops,
         "signalfx_translate": q_signalfx_translate,
-        "signalfx_delta": q_signalfx_delta,
+        # (signalfx_delta rotates beyond the budget: r4-green, unchanged
+        # in r5, and signalfx_translate in-budget exercises the shared
+        # translator core)
         "xray_segments": q_xray_segments,
         "datadog_metrics": q_datadog_metrics,
-        "qsketch_build": q_qsketch_build,
+        # (qsketch_build rotates beyond the budget: r4-green, unchanged
+        # in r5, and qsketch_quantile in-budget drives the same sketch
+        # construction path end-to-end)
         "qsketch_quantile": q_qsketch_quantile,
         "honeycomb_events": q_honeycomb_events,
         "dynatrace_lines": q_dynatrace_lines,
@@ -4034,9 +4179,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "contamination": q_contamination,
         "url_canonical": q_url_canonical,
-        # (domain_stats rotates beyond the budget: it composes the same
-        # urlutil primitives url_canonical verifies in-budget with a
-        # plain groupBy)
         "elastic_docs": q_elastic_docs,
         "tanzu_spans": q_tanzu_spans,
         # ============ beyond the ~50-row budget: r3-green, unchanged ======
@@ -4045,7 +4187,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavefront_roundtrip": q_wavefront_roundtrip,
         "prom_text_decode": q_prom_text_decode,
         "embedding_neardup_banded": q_embedding_neardup_banded,
-        "domain_stats": q_domain_stats,
+        "signalfx_delta": q_signalfx_delta,
+        "qsketch_build": q_qsketch_build,
         "sumologic_lines": q_sumologic_lines,
         "emf_docs": q_emf_docs,
         "dedup_ngram_jaccard_stopgram": q_dedup_ngram_jaccard_stopgram,
@@ -4130,6 +4273,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": ORACLE_DOMAIN_STATS,
         "tanzu_spans": ORACLE_TANZU,
         "newrelic_spans": ORACLE_NEWRELIC,
+        "logzio_docs": ORACLE_LOGZIO,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "pii_scrub": ORACLE_PII_SCRUB,

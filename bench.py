@@ -83,6 +83,8 @@ HEADLINE_QUERIES = [
     "xray_decode",
     "sentry_transactions",
     "statsd_percentiles_sketch",
+    # round-5: jaeger-model translation (pure codegen'd map stage)
+    "logzio_docs",
 ]
 
 
