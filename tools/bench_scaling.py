@@ -69,15 +69,24 @@ def main() -> None:
     lo = int(os.environ.get("SCALING_LO", "8"))
     hi = int(os.environ.get("SCALING_HI", "32"))
     pairs: list[tuple[float, float]] = []
+    steals: list[tuple[float, float]] = []
     for t in range(TRIALS):
         r_lo = run_once(lo, n_pages)
         r_hi = run_once(hi, n_pages)
         if r_lo and r_hi:
             pairs.append((r_lo["value"], r_hi["value"]))
+            # bench.py brackets each timed region with /proc/stat reads;
+            # carrying the e2e rows' steal%% makes every pair
+            # self-attributing (VERDICT r4 item 3/10)
+            steals.append((
+                r_lo.get("steal_pct", {}).get("pipeline_e2e", -1.0),
+                r_hi.get("steal_pct", {}).get("pipeline_e2e", -1.0),
+            ))
             eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
             print(
                 f"# pair {t}: lo={r_lo['value']} hi={r_hi['value']} "
-                f"eff={eff:.3f}",
+                f"eff={eff:.3f} steal_lo={steals[-1][0]}% "
+                f"steal_hi={steals[-1][1]}%",
                 file=sys.stderr,
             )
     if not pairs:
@@ -91,6 +100,7 @@ def main() -> None:
         "n_pages": n_pages,
         "trial_pairs": len(pairs),
         "pairs": [[round(l, 1), round(h, 1)] for l, h in pairs],
+        "pair_steal_pct": [[sl, sh] for sl, sh in steals],
         f"docs_per_sec_local[{lo}]": best_lo,
         f"docs_per_sec_local[{hi}]": best_hi,
         "per_pair_efficiency": [round(e, 3) for e in per_pair],
