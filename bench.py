@@ -83,8 +83,10 @@ HEADLINE_QUERIES = [
     "xray_decode",
     "sentry_transactions",
     "statsd_percentiles_sketch",
-    # round-5: jaeger-model translation (pure codegen'd map stage)
+    # round-5: jaeger-model translation (pure codegen'd map stage) +
+    # remote-write series assembly (sanitize ladder + one series groupBy)
     "logzio_docs",
+    "promremotewrite_series",
 ]
 
 
