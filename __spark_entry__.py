@@ -2611,6 +2611,91 @@ FROM pts GROUP BY series
 """
 
 
+def q_cloudwatch_logs(spark, sf_dir):
+    # awscloudwatchlogs exporter (exporter.go:150-191): one InputLogEvent
+    # per record — ms timestamp (ns DIV 1e6, sub-ms truncated) + cwLogBody
+    # JSON in Go struct order with per-type omitempty (empty strings /
+    # zero numerics / empty-or-all-zero ids / EMPTY maps drop; an
+    # empty-STRING body is a non-nil interface{} and is KEPT), nested
+    # maps with Go's sorted-key marshal order
+    from opentelemetry_collector_contrib_spark.sinks import cloudwatchlogs
+
+    ev = _events(spark, sf_dir)
+    u, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    empty_map = F.create_map().cast("map<string,string>")
+    logs = ev.select(
+        (F.unix_timestamp("ts").cast("long") * F.lit(1000000000)
+         + (eid % 1000) * F.lit(1000000)
+         + (eid % 777) * F.lit(1000)).alias("ts_ns"),
+        F.when(eid % 5 == 0, "").otherwise(F.concat(F.lit("evt-"), et))
+        .alias("name"),
+        F.when(eid % 7 == 0, F.lit(None).cast("string"))
+        .when(eid % 7 == 1, "")
+        .otherwise(F.concat(F.lit("b:"), et)).alias("body"),
+        (u % 25).cast("int").alias("severity_number"),
+        F.when(u % 4 == 0, "").otherwise(
+            F.concat(F.lit("SEV"), (u % 4).cast("string"))
+        ).alias("severity_text"),
+        F.when(eid % 11 == 0, 2).otherwise(0).cast("int")
+        .alias("dropped_count"),
+        F.when(eid % 2 == 0, 1).otherwise(0).cast("int").alias("flags"),
+        F.when(u % 6 == 0, F.lit("0" * 32))
+        .when(u % 6 == 1, "")
+        .otherwise(F.md5(u.cast("string").cast("binary")))
+        .alias("trace_id"),
+        F.when(eid % 6 == 0, F.lit("0" * 16))
+        .otherwise(F.substring(F.md5(eid.cast("string").cast("binary")),
+                               1, 16)).alias("span_id"),
+        # inserted z-before-a so the sorted-key marshal is load-bearing
+        F.when(eid % 3 == 0, empty_map).otherwise(F.create_map(
+            F.lit("zkey"), et,
+            F.lit("akey"), (u % 5).cast("string"),
+        )).alias("attributes"),
+        F.when(u % 7 == 0, empty_map).otherwise(F.create_map(
+            F.lit("service.name"), F.concat(F.lit("svc"), (u % 3).cast("string")),
+            F.lit("host"), F.concat(F.lit("h"), (u % 2).cast("string")),
+        )).alias("resource"),
+    )
+    return cloudwatchlogs.to_cw_log_events(logs)
+
+
+# concat_ws skips NULL parts — exactly omitempty; part order = the Go
+# struct declaration order the Spark side renders via to_json(struct)
+ORACLE_CWLOGS = """
+SELECT
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000
+    + event_id % 1000 AS "timestamp",
+  '{' || concat_ws(',',
+    CASE WHEN event_id % 5 = 0 THEN NULL
+         ELSE '"name":"evt-' || event_type || '"' END,
+    CASE WHEN event_id % 7 = 0 THEN NULL
+         WHEN event_id % 7 = 1 THEN '"body":""'
+         ELSE '"body":"b:' || event_type || '"' END,
+    CASE WHEN user_id % 25 = 0 THEN NULL
+         ELSE '"severity_number":' || CAST(user_id % 25 AS VARCHAR) END,
+    CASE WHEN user_id % 4 = 0 THEN NULL
+         ELSE '"severity_text":"SEV' || CAST(user_id % 4 AS VARCHAR) || '"'
+         END,
+    CASE WHEN event_id % 11 = 0 THEN '"dropped_attributes_count":2'
+         ELSE NULL END,
+    CASE WHEN event_id % 2 = 0 THEN '"flags":1' ELSE NULL END,
+    CASE WHEN user_id % 6 IN (0, 1) THEN NULL
+         ELSE '"trace_id":"' || md5(CAST(user_id AS VARCHAR)) || '"' END,
+    CASE WHEN event_id % 6 = 0 THEN NULL
+         ELSE '"span_id":"'
+              || substr(md5(CAST(event_id AS VARCHAR)), 1, 16) || '"' END,
+    CASE WHEN event_id % 3 = 0 THEN NULL
+         ELSE '"attributes":{"akey":"' || CAST(user_id % 5 AS VARCHAR)
+              || '","zkey":"' || event_type || '"}' END,
+    CASE WHEN user_id % 7 = 0 THEN NULL
+         ELSE '"resource":{"host":"h' || CAST(user_id % 2 AS VARCHAR)
+              || '","service.name":"svc' || CAST(user_id % 3 AS VARCHAR)
+              || '"}' END
+  ) || '}' AS message
+FROM events
+"""
+
+
 ORACLE_LOGZIO = """
 SELECT CAST(0 AS BIGINT) AS trace_id_high,
        user_id + 1 AS trace_id_low,
@@ -4155,6 +4240,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5 block 1: new in r5, never driver-checked ---
         "logzio_docs": q_logzio_docs,
         "promremotewrite_series": q_promremotewrite_series,
+        "cloudwatch_logs": q_cloudwatch_logs,
         # --- r5 block 2: implementation changed in r5 (re-verify) ---
         #     xray_decode: per-level persisted explode (O(depth) parses);
         #     sentry_transactions: materialize-then-release state
@@ -4241,10 +4327,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "contamination": q_contamination,
         "url_canonical": q_url_canonical,
+        # (tanzu_spans and elastic_docs rotate beyond the budget: both
+        # r4-green and byte-identical since their rows — make room for
+        # promremotewrite_series and cloudwatch_logs)
+        # ============ beyond the ~50-row budget: r3/r4-green, unchanged ===
         "elastic_docs": q_elastic_docs,
-        # (tanzu_spans rotates beyond the budget: r4-green, byte-identical
-        # since its row — makes room for promremotewrite_series)
-        # ============ beyond the ~50-row budget: r3-green, unchanged ======
         "tanzu_spans": q_tanzu_spans,
         "statsd_window": q_statsd_window,
         "statsd_percentiles": q_statsd_percentiles,
@@ -4338,6 +4425,7 @@ def oracle_sql() -> dict[str, str]:
         "tanzu_spans": ORACLE_TANZU,
         "newrelic_spans": ORACLE_NEWRELIC,
         "logzio_docs": ORACLE_LOGZIO,
+        "cloudwatch_logs": ORACLE_CWLOGS,
         "promremotewrite_series": ORACLE_PROMREMOTEWRITE,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
