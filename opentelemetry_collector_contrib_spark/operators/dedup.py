@@ -709,3 +709,162 @@ SELECT d.{id_col}, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
        COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
 FROM {relation} d LEFT JOIN hits h ON d.{id_col} = h.doc
 """
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 50,
+) -> DataFrame:
+    """Cross-corpus exact-substring duplicate spans (the ExactSubstr
+    family of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 §4.1): report every
+    maximal token span of length >= ``min_len`` whose every ``k``-gram
+    occurs at least twice in the corpus (across docs OR twice within
+    one doc — both are duplicated text).
+
+    The paper builds a corpus-wide suffix array; that is a sequential
+    construction. The Spark-first equivalent is the k-gram fingerprint
+    formulation: a span is duplicated iff each of its k-grams is, so
+
+      1. per doc: rolling k-gram fingerprints at every token position
+         (one codegen'd ``transform`` over ``sequence`` — no explode of
+         gram STRINGS; only 64-bit ``xxhash64`` fingerprints leave the
+         row, which at 10^12 docs is the difference between shuffling
+         ~8 bytes/gram and ~60);
+      2. gram frequency via ``groupBy(gram).count()`` — MAP-SIDE
+         COMBINABLE, then an equi-join back. Deliberately NOT
+         ``count over (partition by gram)``: a boilerplate gram shared
+         by 20% of a web corpus would shuffle every occurrence to one
+         reducer (the same trap paragraph_dedup documents); the
+         groupBy partially aggregates before the shuffle and AQE
+         handles residual join skew;
+      3. per doc: merge overlapping dup-gram intervals [pos, pos+k-1]
+         into maximal spans (gaps-and-islands over one window keyed by
+         the doc — bounded by doc length, never by corpus size) and
+         keep spans >= min_len tokens.
+
+    64-bit fingerprints stand in for gram equality (collision odds
+    ~n²/2^65 — at 10^13 grams use two independent hashes). Docs
+    shorter than ``k`` tokens have no k-gram and no spans.
+
+    Output: (id_col, span_start, span_end, n_tokens) — token indices,
+    0-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    ).filter(F.size("__toks") >= k)
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, k))),
+            )
+        ).alias("pos", "gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("__freq"))
+    dup = grams.join(freq.filter(F.col("__freq") >= 2), "gram").select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    marked = dup.withColumn(
+        "__island",
+        F.sum(
+            F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = marked.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+    )
+    return (
+        spans.withColumn(
+            "n_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("n_tokens") >= min_len)
+        .select(
+            id_col,
+            F.col("span_start").cast("int"),
+            F.col("span_end").cast("int"),
+            F.col("n_tokens").cast("int"),
+        )
+    )
+
+
+def duplicate_substring_spans_sql(
+    relation: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 50,
+) -> str:
+    """DuckDB twin of :func:`duplicate_substring_spans` (grams compared
+    as strings — the fingerprint-free ground truth)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {relation}
+), grams AS (
+  SELECT {id_col}, CAST(i AS INTEGER) AS pos,
+         array_to_string(t[i + 1 : i + {k}], ' ') AS gram
+  FROM toks, UNNEST(range(len(t) - {k} + 1)) AS u(i)
+), dup AS (
+  SELECT {id_col}, pos FROM grams
+  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2)
+), isl AS (
+  SELECT {id_col}, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {id_col} ORDER BY pos) AS island
+  FROM (
+    SELECT {id_col}, pos,
+           LAG(pos) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+    FROM dup
+  )
+)
+SELECT {id_col},
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {k} - 1 AS INTEGER) AS span_end,
+       CAST(MAX(pos) + {k} - MIN(pos) AS INTEGER) AS n_tokens
+FROM isl
+GROUP BY {id_col}, island
+HAVING MAX(pos) + {k} - MIN(pos) >= {min_len}
+"""
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise the spans found by :func:`duplicate_substring_spans` from
+    each doc's text (the paper's removal step). One left join on the id
+    + a codegen'd token filter; docs with no spans pass through intact.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    cleaned = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    out_cols = [
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(cleaned).alias(c) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return docs.join(agg, id_col, "left").select(*out_cols)
