@@ -2270,6 +2270,40 @@ FROM u GROUP BY 1
 ORACLE_DOMAIN_STATS = _oracle_domain_stats()
 
 
+#: per-language sampling rates for the mixture query — en kept at half,
+#: es deliberately absent so the default-rate branch is exercised
+_MIX_RATES = {"en": 0.5, "de": 0.35, "fr": 0.25, "zh": 0.15}
+_MIX_DEFAULT = 0.05
+_MIX_SALT = "mix1"
+
+
+def q_stratified_sample(spark, sf_dir):
+    # deterministic stratified sampling (operators/sampling.py): the
+    # data-mixture step every corpus pipeline ends with (GPT-3 §2.2 /
+    # The Pile / FineWeb per-source weights) — admission is a pure
+    # hash-vs-threshold decision per doc id, so the sample is
+    # reproducible across reruns, resumes, and engines; map-only, no
+    # shuffle, composes with the parquet scan
+    from opentelemetry_collector_contrib_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang", _MIX_RATES, default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    )
+
+
+def _oracle_stratified_sample():
+    from opentelemetry_collector_contrib_spark.operators import sampling
+
+    return sampling.stratified_sample_sql(
+        "(SELECT doc_id, lang, source FROM documents)",
+        "lang", _MIX_RATES, default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = _oracle_stratified_sample()
+
+
 def _sfx_datapoints(spark, sf_dir):
     # events -> SignalFx-shaped datapoints (metric, dims map, int/double value)
     ev = _events(spark, sf_dir)
@@ -4261,6 +4295,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promremotewrite_series": q_promremotewrite_series,
         "cloudwatch_logs": q_cloudwatch_logs,
         "substring_dedup": q_substring_dedup,
+        "stratified_sample": q_stratified_sample,
         # --- r5 block 2: implementation changed in r5 (re-verify) ---
         #     xray_decode: per-level persisted explode (O(depth) parses);
         #     sentry_transactions: materialize-then-release state
@@ -4338,7 +4373,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qsketch_quantile": q_qsketch_quantile,
         "honeycomb_events": q_honeycomb_events,
         "dynatrace_lines": q_dynatrace_lines,
-        "multiline_assemble": q_multiline_assemble,
+        # (multiline_assemble rotates beyond the budget: r4-green,
+        # byte-identical since its row, assembly semantics additionally
+        # pinned by tests/test_sources.py — making room for the new
+        # stratified_sample mixture query in the r5 block)
         "hec_roundtrip": q_hec_roundtrip,
         "collectd_decode": q_collectd_decode,
         "fluentforward_roundtrip": q_fluentforward_roundtrip,
@@ -4352,6 +4390,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # steal bench — making room for promremotewrite_series,
         # cloudwatch_logs and substring_dedup)
         # ============ beyond the ~50-row budget: r3/r4-green, unchanged ===
+        "multiline_assemble": q_multiline_assemble,
         "url_canonical": q_url_canonical,
         "elastic_docs": q_elastic_docs,
         "tanzu_spans": q_tanzu_spans,
@@ -4449,6 +4488,7 @@ def oracle_sql() -> dict[str, str]:
         "logzio_docs": ORACLE_LOGZIO,
         "cloudwatch_logs": ORACLE_CWLOGS,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "promremotewrite_series": ORACLE_PROMREMOTEWRITE,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -1,0 +1,70 @@
+"""Deterministic stratified sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators import sampling
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pool(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string").cache()
+
+
+def test_sample_is_deterministic_and_partitioning_invariant(spark, pool):
+    out1 = sampling.stratified_sample(pool, "lang", {"en": 0.4, "de": 0.8})
+    ids1 = {r["doc_id"] for r in out1.collect()}
+    # same decision regardless of physical layout (pure hash of the id)
+    out2 = sampling.stratified_sample(
+        pool.repartition(17, "lang"), "lang", {"en": 0.4, "de": 0.8})
+    assert {r["doc_id"] for r in out2.collect()} == ids1
+    # a different salt draws an independent sample
+    out3 = sampling.stratified_sample(
+        pool, "lang", {"en": 0.4, "de": 0.8}, salt="other")
+    assert {r["doc_id"] for r in out3.collect()} != ids1
+
+
+def test_rates_hit_within_hash_noise(spark, pool):
+    out = sampling.stratified_sample(
+        pool, "lang", {"en": 0.4}, default_rate=0.9)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 2000 - 0.4) < 0.05
+    assert abs(got["de"] / 1000 - 0.9) < 0.05
+
+
+def test_zero_and_full_rates_are_exact(spark, pool):
+    out = sampling.stratified_sample(pool, "lang", {"en": 1.0, "de": 0.0})
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 2000}
+
+
+def test_hash_bucket_column_matches_admission(spark, pool):
+    thr = {"en": 400000, "de": 800000}
+    out = sampling.stratified_sample(
+        pool, "lang", {"en": 0.4, "de": 0.8}).collect()
+    assert all(r["hash_bucket"] < thr[r["lang"]] for r in out)
+
+
+def test_mixture_rates_math():
+    counts = {"en": 1000, "de": 100, "fr": 400}
+    targets = {"en": 0.6, "de": 0.1, "fr": 0.3}
+    rates = sampling.mixture_rates(counts, targets)
+    # de is binding (least data relative to its share) -> rate exactly 1
+    assert rates["de"] == pytest.approx(1.0)
+    sampled = {k: counts[k] * rates[k] for k in counts}
+    total = sum(sampled.values())
+    for k in targets:
+        assert sampled[k] / total == pytest.approx(targets[k])
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+
+
+def test_mixture_rates_zero_target_drops_stratum():
+    rates = sampling.mixture_rates(
+        {"en": 10, "junk": 999}, {"en": 1.0, "junk": 0.0})
+    assert rates == {"en": pytest.approx(1.0), "junk": 0.0}
