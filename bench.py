@@ -70,6 +70,7 @@ HEADLINE_QUERIES = [
     "contamination",
     "url_canonical",
     "domain_stats",
+    "stratified_sample",
     "tpch_q1",
     "tpch_q3_top10",
     # wire-format decoders (pure JVM map stages)
