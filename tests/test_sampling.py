@@ -68,3 +68,21 @@ def test_mixture_rates_zero_target_drops_stratum():
     rates = sampling.mixture_rates(
         {"en": 10, "junk": 999}, {"en": 1.0, "junk": 0.0})
     assert rates == {"en": pytest.approx(1.0), "junk": 0.0}
+
+
+def test_sample_plan_is_map_only_and_pruned(spark):
+    """The mixture sampler must compose with the scan: no Exchange
+    anywhere (pure map stage) and the parquet read pruned to the
+    referenced columns."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.stratified_sample(
+        docs.select("doc_id", "lang"), "lang", {"en": 0.5}, default_rate=0.1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
