@@ -256,3 +256,70 @@ def test_minhash_lsh_recall_and_verified_jaccard(spark, corpus):
         assert union > 0
         assert abs(jac - inter / union) < 1e-9
         assert jac >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# simhash: per-doc value model + pigeonhole banding equivalence
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+SIM_BITS = 8
+
+
+def _md5_int_model(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _simhash_model(text: str) -> int:
+    toks = list(dict.fromkeys(text.split(" ")))  # distinct, order-free sum
+    out = 0
+    for i in range(SIM_BITS):
+        vote = sum(
+            1 if (_md5_int_model(t) >> i) & 1 else -1 for t in toks)
+        if vote > 0:
+            out |= 1 << i
+    return out
+
+
+@PROP
+@given(st.lists(doc_st, min_size=2, max_size=6))
+def test_simhash_value_model_and_banded_equivalence(spark, corpus):
+    texts = [" ".join(t) for t in corpus]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc"]: r["simhash"]
+           for r in dedup.simhash(df, "doc_id", "text", bits=SIM_BITS).collect()}
+    assert got == {i: _simhash_model(t) for i, t in enumerate(texts)}
+    exact = {(r["doc_a"], r["doc_b"], r["hamming"])
+             for r in dedup.simhash_pairs(
+                 df, "doc_id", "text", bits=SIM_BITS, max_hamming=2).collect()}
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in dedup.simhash_pairs_banded(
+                  df, "doc_id", "text", bits=SIM_BITS, max_hamming=2).collect()}
+    assert banded == exact
+
+
+# ---------------------------------------------------------------------------
+# contamination screen (GPT-3 appendix C)
+# ---------------------------------------------------------------------------
+
+@PROP
+@given(st.lists(doc_st, min_size=1, max_size=5),
+       st.lists(doc_st, min_size=1, max_size=3))
+def test_contamination_matches_python_model(spark, corpus, bench):
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)],
+        "doc_id long, text string")
+    bench_df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(bench)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+           for r in dedup.contamination_flags(
+               docs, bench_df, n=N_GRAM).collect()}
+    bench_grams = frozenset().union(*[_gram_set(t) for t in bench])
+    expect = {}
+    for i, toks in enumerate(corpus):
+        n_hit = len(_gram_set(toks) & bench_grams)
+        expect[i] = (n_hit, n_hit > 0)
+    assert got == expect
