@@ -2303,6 +2303,40 @@ def _oracle_stratified_sample():
 
 ORACLE_STRATIFIED_SAMPLE = _oracle_stratified_sample()
 
+_PACK_BLOCK = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_blocks(spark, sf_dir):
+    # token-block packing (operators/packing.py): the GPT-style
+    # concatenate-and-chunk step that turns a curated corpus into
+    # fixed-length training blocks — per-shard exclusive prefix sum over
+    # a deterministic doc order (one window per shard, no global sort),
+    # block ids by integer division; documents span block boundaries
+    from opentelemetry_collector_contrib_spark.operators import packing
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    return packing.pack_token_blocks(
+        docs, "n_toks", _PACK_BLOCK, "shard_id")
+
+
+def _oracle_pack_blocks():
+    from opentelemetry_collector_contrib_spark.operators import packing
+
+    rel = (
+        f"(SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard_id,"
+        f" len(string_split(text, ' ')) AS n_toks FROM documents)"
+    )
+    return packing.pack_token_blocks_sql(
+        rel, "n_toks", _PACK_BLOCK, "shard_id")
+
+
+ORACLE_PACK_BLOCKS = _oracle_pack_blocks()
+
 
 def _sfx_datapoints(spark, sf_dir):
     # events -> SignalFx-shaped datapoints (metric, dims map, int/double value)
@@ -4296,6 +4330,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudwatch_logs": q_cloudwatch_logs,
         "substring_dedup": q_substring_dedup,
         "stratified_sample": q_stratified_sample,
+        "pack_blocks": q_pack_blocks,
         # --- r5 block 2: implementation changed in r5 (re-verify) ---
         #     xray_decode: per-level persisted explode (O(depth) parses);
         #     sentry_transactions: materialize-then-release state
@@ -4378,7 +4413,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned by tests/test_sources.py — making room for the new
         # stratified_sample mixture query in the r5 block)
         "hec_roundtrip": q_hec_roundtrip,
-        "collectd_decode": q_collectd_decode,
+        # (collectd_decode rotates beyond the budget: r4-green,
+        # byte-identical since its row, reference semantics pinned by
+        # tests/test_sources.py::test_collectd_decode_reference_semantics
+        # — making room for the new pack_blocks query in the r5 block)
         "fluentforward_roundtrip": q_fluentforward_roundtrip,
         # --- block 4: spare first-50 slots — new r4 queries land HERE ---
         "sapm_decode": q_sapm_decode,
@@ -4391,6 +4429,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cloudwatch_logs and substring_dedup)
         # ============ beyond the ~50-row budget: r3/r4-green, unchanged ===
         "multiline_assemble": q_multiline_assemble,
+        "collectd_decode": q_collectd_decode,
         "url_canonical": q_url_canonical,
         "elastic_docs": q_elastic_docs,
         "tanzu_spans": q_tanzu_spans,
@@ -4489,6 +4528,7 @@ def oracle_sql() -> dict[str, str]:
         "cloudwatch_logs": ORACLE_CWLOGS,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "pack_blocks": ORACLE_PACK_BLOCKS,
         "promremotewrite_series": ORACLE_PROMREMOTEWRITE,
         "azuremonitor_envelopes": ORACLE_AZUREMONITOR,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -1,0 +1,62 @@
+"""Token-block packing (operators/packing.py)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators import packing
+
+from pyspark.sql import functions as F
+
+
+def _pack(spark, rows, block_size=10, sep=1):
+    df = spark.createDataFrame(
+        rows, "doc_id long, shard string, n_toks long")
+    out = packing.pack_token_blocks(
+        df, "n_toks", block_size, "shard", sep_tokens=sep)
+    return {r["id"]: r.asDict() for r in out.collect()}
+
+
+def test_stream_offsets_and_block_spans(spark):
+    # shard a: docs 1(4 toks), 2(12), 3(0), 4(5)  -> stream with sep=1:
+    # doc1 [0..3] sep@4, doc2 [5..16] sep@17, doc3 [] sep@18, doc4 [19..23]
+    got = _pack(spark, [(1, "a", 4), (2, "a", 12), (3, "a", 0), (4, "a", 5)])
+    assert got[1]["stream_start"] == 0
+    assert (got[1]["first_block"], got[1]["last_block"]) == (0, 0)
+    assert got[2]["stream_start"] == 5
+    # doc2 spans tokens 5..16 -> blocks 0 and 1
+    assert (got[2]["first_block"], got[2]["last_block"]) == (0, 1)
+    assert got[2]["n_blocks_spanned"] == 2
+    assert got[2]["offset_in_first_block"] == 5
+    # empty doc occupies only its start position
+    assert got[3]["stream_start"] == 18
+    assert (got[3]["first_block"], got[3]["last_block"]) == (1, 1)
+    assert got[4]["stream_start"] == 19
+    assert (got[4]["first_block"], got[4]["last_block"]) == (1, 2)
+
+
+def test_shards_are_independent_streams(spark):
+    got = _pack(spark, [(1, "a", 7), (2, "b", 7), (3, "a", 7), (4, "b", 7)])
+    # each shard's first doc starts at 0 regardless of interleaving
+    assert got[1]["stream_start"] == 0 and got[2]["stream_start"] == 0
+    assert got[3]["stream_start"] == 8 and got[4]["stream_start"] == 8
+
+
+def test_packing_is_partitioning_invariant(spark):
+    rows = [(i, f"s{i % 3}", (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_toks long")
+    a = packing.pack_token_blocks(df, "n_toks", 16, "shard").collect()
+    b = packing.pack_token_blocks(
+        df.repartition(13), "n_toks", 16, "shard").collect()
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_stream_is_gapless_and_ordered(spark):
+    rows = [(i, "a", (i * 11) % 17) for i in range(50)]
+    got = _pack(spark, rows, block_size=32)
+    ordered = [got[i] for i in range(50)]
+    pos = 0
+    for r in ordered:
+        assert r["stream_start"] == pos
+        pos += r["n_tokens"] + 1  # the EOD sentinel
+        assert r["last_block"] >= r["first_block"]
+        assert r["offset_in_first_block"] == r["stream_start"] % 32
