@@ -71,6 +71,7 @@ HEADLINE_QUERIES = [
     "url_canonical",
     "domain_stats",
     "stratified_sample",
+    "pack_blocks",
     "tpch_q1",
     "tpch_q3_top10",
     # wire-format decoders (pure JVM map stages)
