@@ -60,3 +60,46 @@ def test_stream_is_gapless_and_ordered(spark):
         pos += r["n_tokens"] + 1  # the EOD sentinel
         assert r["last_block"] >= r["first_block"]
         assert r["offset_in_first_block"] == r["stream_start"] % 32
+
+
+# ---------------------------------------------------------------------------
+# property: packing vs an independent Python model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 50), st.sampled_from(["a", "b"]),
+              st.integers(0, 40)),
+    min_size=1, max_size=20, unique_by=lambda r: r[0],
+)
+
+
+def _model(rows, block_size, sep=1):
+    out = {}
+    for shard in {r[1] for r in rows}:
+        pos = 0
+        for did, _, n in sorted(r for r in rows if r[1] == shard):
+            end = pos + max(n, 1) - 1
+            out[did] = (shard, n, pos, pos // block_size,
+                        end // block_size, pos % block_size,
+                        end // block_size - pos // block_size + 1)
+            pos += n + sep
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows_st, st.sampled_from([4, 16]))
+def test_packing_matches_python_model(spark, rows, block_size):
+    df = spark.createDataFrame(
+        list(rows), "doc_id long, shard string, n_toks long")
+    got = {
+        r["id"]: (r["shard"], r["n_tokens"], r["stream_start"],
+                  r["first_block"], r["last_block"],
+                  r["offset_in_first_block"], r["n_blocks_spanned"])
+        for r in packing.pack_token_blocks(df, "n_toks", block_size,
+                                           "shard").collect()
+    }
+    assert got == _model(rows, block_size)
