@@ -92,10 +92,13 @@ def pack_token_blocks_sql(
 WITH t AS (
   SELECT {shard_col} AS shard, {id_col} AS id,
          CAST({tokens_expr} AS BIGINT) AS n_tokens,
-         SUM(CAST({tokens_expr} AS BIGINT) + {sep_tokens}) OVER (
+         -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back so every
+         -- oracle column stays pyarrow-convertible (test_env_robustness)
+         CAST(SUM(CAST({tokens_expr} AS BIGINT) + {sep_tokens}) OVER (
              PARTITION BY {shard_col} ORDER BY {id_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) - (CAST({tokens_expr} AS BIGINT) + {sep_tokens}) AS stream_start
+         ) - (CAST({tokens_expr} AS BIGINT) + {sep_tokens}) AS BIGINT)
+             AS stream_start
   FROM {relation}
 ),
 s AS (
