@@ -103,3 +103,23 @@ def test_packing_matches_python_model(spark, rows, block_size):
                                            "shard").collect()
     }
     assert got == _model(rows, block_size)
+
+
+def test_packing_plan_shuffles_once_on_shard(spark):
+    """One hash exchange on the shard key feeds the per-shard window —
+    no global sort, no second shuffle."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .selectExpr("doc_id", "pmod(doc_id, 8) AS shard_id",
+                    "size(split(text, ' ')) AS n_toks")
+    out = packing.pack_token_blocks(docs, "n_toks", 512, "shard_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain prints each node twice (tree + detail section);
+    # ") Exchange" matches only the detail header, once per exchange node
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(shard_id" in plan
