@@ -109,8 +109,13 @@ def mixture_rates(
     """
     total_target = sum(targets.values())
     shares = {k: v / total_target for k, v in targets.items()}
-    feasible = min(counts[k] / shares[k] for k in shares if shares[k] > 0)
+    # a positive-target stratum with no data makes the mixture infeasible
+    # at any size — every rate collapses to 0 rather than KeyError/div0
+    feasible = min(
+        counts.get(k, 0) / shares[k] for k in shares if shares[k] > 0
+    )
     return {
-        k: (feasible * shares[k] / counts[k] if shares[k] > 0 else 0.0)
+        k: (feasible * shares[k] / counts[k]
+            if shares[k] > 0 and counts.get(k, 0) > 0 else 0.0)
         for k in shares
     }

@@ -86,3 +86,11 @@ def test_sample_plan_is_map_only_and_pruned(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_mixture_rates_infeasible_stratum_collapses_to_zero():
+    # a positive-target stratum with no data -> the mixture is
+    # unachievable at any corpus size; every rate is 0, no exception
+    rates = sampling.mixture_rates(
+        {"en": 1000}, {"en": 0.5, "missing": 0.5})
+    assert rates == {"en": 0.0, "missing": 0.0}
