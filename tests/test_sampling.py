@@ -94,3 +94,37 @@ def test_mixture_rates_infeasible_stratum_collapses_to_zero():
     rates = sampling.mixture_rates(
         {"en": 1000}, {"en": 0.5, "missing": 0.5})
     assert rates == {"en": 0.0, "missing": 0.0}
+
+
+# ---------------------------------------------------------------------------
+# property: admission decisions vs an independent hashlib model
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ids_st = st.lists(st.integers(0, 10**9), min_size=1, max_size=30,
+                  unique=True)
+rate_st = st.sampled_from([0.0, 0.1, 0.317, 0.5, 0.999, 1.0])
+
+
+def _admit_model(doc_id: int, rate: float, salt: str) -> bool:
+    h = int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:15], 16)
+    return h % 1_000_000 < int(rate * 1_000_000)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ids_st, rate_st, rate_st)
+def test_admission_matches_hashlib_model(spark, ids, rate_en, rate_default):
+    rows = [(i, "en" if i % 2 else "de") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["doc_id"] for r in sampling.stratified_sample(
+        df, "lang", {"en": rate_en}, default_rate=rate_default,
+        salt="p").collect()}
+    expect = {i for i, lang in rows
+              if _admit_model(i, rate_en if lang == "en" else rate_default,
+                              "p")}
+    assert got == expect
