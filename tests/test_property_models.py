@@ -323,3 +323,85 @@ def test_contamination_matches_python_model(spark, corpus, bench):
         n_hit = len(_gram_set(toks) & bench_grams)
         expect[i] = (n_hit, n_hit > 0)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# statsd line grammar (statsd_parser.go): split-based model, no regex
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.operators import statsd
+
+_NUM = set("0123456789.")
+
+
+def _num_ok(s: str) -> bool:
+    return len(s) > 0 and set(s) <= _NUM
+
+
+def _try_float(s):
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _statsd_model(line: str):
+    """From-the-definition parse: name ':' value '|' type ['|@'rate]
+    ['|#'tags] — implemented by splitting, not by the shared regex."""
+    invalid = ("", None, "", None, None)
+    if ":" not in line:
+        return invalid
+    name, rest = line.split(":", 1)
+    if not name:
+        return invalid
+    parts = rest.split("|")
+    if len(parts) < 2:
+        return invalid
+    value = parts[0]
+    sign_stripped = value[1:] if value[:1] in "+-" else value
+    if not _num_ok(sign_stripped):
+        return invalid
+    mtype = parts[1]
+    if mtype not in ("c", "g", "ms", "h"):
+        return invalid
+    rate = None
+    tags = None
+    i = 2
+    if i < len(parts) and parts[i].startswith("@"):
+        if not _num_ok(parts[i][1:]):
+            return invalid
+        rate = _try_float(parts[i][1:])
+        i += 1
+    if i < len(parts):
+        trailer = "|".join(parts[i:])
+        if not trailer.startswith("#"):
+            return invalid
+        tags = trailer[1:] or None
+        i = len(parts)
+    return (name, _try_float(value), mtype, rate, tags)
+
+
+_charset = st.sampled_from(list("ab01:|@#.-+"))
+garbage_st = st.text(alphabet="ab01:|@#.-+", min_size=0, max_size=18)
+valid_st = st.builds(
+    lambda n, v, t, r, g: f"{n}:{v}|{t}" + (f"|@{r}" if r else "")
+    + (f"|#{g}" if g is not None else ""),
+    st.sampled_from(["m", "a.b", "x|y", "c@d"]),
+    st.sampled_from(["1", "-2.5", "+0.1", "3.", "1.2.3"]),
+    st.sampled_from(["c", "g", "ms", "h", "s", "MS"]),
+    st.sampled_from([None, "1", "0.5", "2."]),
+    st.sampled_from([None, "", "k:v", "k:v,l:w", "odd|bar"]),
+)
+
+
+@PROP
+@given(st.lists(st.one_of(garbage_st, valid_st), min_size=1, max_size=15))
+def test_statsd_parse_matches_split_model(spark, lines):
+    df = spark.createDataFrame([(i, ln) for i, ln in enumerate(lines)],
+                               "i long, line string")
+    got = {
+        r["i"]: (r["metric_name"], r["metric_value"], r["metric_type"],
+                 r["sample_rate"], r["tags"])
+        for r in statsd.parse_statsd_lines(df).collect()
+    }
+    assert got == {i: _statsd_model(ln) for i, ln in enumerate(lines)}
